@@ -1,0 +1,74 @@
+"""opencl_ray_tracer_tpu — a TPU-native differentiable ray tracer in JAX/Pallas.
+
+A from-scratch re-design of the capabilities of RichardHancock/OpenCL-Ray-Tracer
+(reference mounted at /root/reference) for TPU hardware:
+
+- per-pixel primary-ray pipeline (camera ray gen -> sphere/triangle intersection
+  -> nearest hit -> shading -> RGBA framebuffer), reproducing the reference's
+  exact "legacy" semantics (rayTracer.cl:111-202) for validation, plus
+  Lambertian/Phong shading with point lights and hard shadows,
+- fused Pallas megakernels over pixel tiles for the TPU compute path,
+- a CPU/XLA oracle tracer (the reference's dual-backend cross-check,
+  states/MainState.cpp:936-972) used as the correctness anchor,
+- soft/reparameterized edge handling so the whole pipeline is differentiable
+  w.r.t. sphere centers/radii, cube transforms, colours and light positions,
+- mesh-sharded multi-chip rendering (image tiles sharded, scene replicated,
+  scene-parameter grads all-reduced over ICI) via jax.sharding + shard_map.
+
+Public API lives here; subpackages:
+  scene/     scene model (spheres SoA, cubes, lights) + built-in scene library
+  camera     affine ray-bundle cameras (legacy ortho + pinhole)
+  ops/       vectorized intersection + shading math (jnp)
+  ref/       CPU oracle tracer (reference semantics, the "slow twin")
+  kernels/   Pallas TPU megakernels (forward + backward)
+  diff/      soft differentiable renderer + custom VJPs
+  parallel/  device mesh, sharded rendering, distributed init
+  models/    renderer families (Legacy / Lambert / Phong / Soft) + inverse rendering
+  runtime/   backend discovery & dispatch (the OpenCL-host-runtime role)
+  utils/     logging, timers, RNG, image/PNG IO (native-accelerated)
+  app/       app shell: state machine, input, frame loop, benchmark harness
+  native/    C++ runtime pieces (PNG codec, timer, framebuffer pack) via ctypes
+"""
+
+__version__ = "0.1.0"
+
+from opencl_ray_tracer_tpu.config import RenderConfig, Settings
+from opencl_ray_tracer_tpu.camera import Camera, legacy_ortho_camera, pinhole_camera
+from opencl_ray_tracer_tpu.scene import (
+    Scene,
+    Cube,
+    Lights,
+    create_scene,
+    create_scene1,
+    create_scene2,
+    create_scene3,
+    random_scene,
+)
+from opencl_ray_tracer_tpu.models import (
+    Renderer,
+    get_renderer,
+    render,
+)
+from opencl_ray_tracer_tpu.runtime import Backend, available_backends, default_backend
+
+__all__ = [
+    "RenderConfig",
+    "Settings",
+    "Camera",
+    "legacy_ortho_camera",
+    "pinhole_camera",
+    "Scene",
+    "Cube",
+    "Lights",
+    "create_scene",
+    "create_scene1",
+    "create_scene2",
+    "create_scene3",
+    "random_scene",
+    "Renderer",
+    "get_renderer",
+    "render",
+    "Backend",
+    "available_backends",
+    "default_backend",
+]

@@ -1,0 +1,453 @@
+"""Fused Pallas forward megakernel — the device ray-trace kernel.
+
+This is the TPU-native equivalent of the reference's OpenCL kernel
+(resources/shaders/rayTracer.cl:111-202), redesigned for the hardware rather
+than translated:
+
+- The reference launches one work-item per pixel over a flat 1-D NDRange
+  (MainState.cpp:858). Here the flat pixel axis is tiled into blocks of
+  TILE_PIXELS and each Pallas grid step traces a whole tile with 8x128
+  vectorized math: pixels live on the SUBLANE axis, primitive chunks on the
+  128-wide LANE axis, so every intersection test is a dense (TP, CK) VPU op.
+- The reference's branchy per-primitive code (rayTracer.cl:54-97) becomes
+  select/where chains; the nearest-hit running min becomes a per-chunk lane
+  reduction + streaming best-state update.
+- The winning primitive's attributes (colour / normal / center) are fetched
+  with a one-hot matmul on the MXU — no per-pixel gathers.
+- Ray generation is fused: rays are rebuilt in-register from the affine
+  camera bundle (camera.py) and the pixel index iota — the reference instead
+  ships a (H*W, 4) rayOrigins buffer from host every launch
+  (MainState.cpp:845-855).
+- The whole scene is broadcast into VMEM per grid step (~70 KB at the
+  reference's 1200-triangle stress scene) — the analogue of the read-only
+  __global scene buffers (MainState.cpp:678-743), but on-chip.
+- Shading (legacy depth-fog / lambert / phong + hard shadows) is fused into
+  the same kernel: zero intermediate HBM traffic between intersection and
+  framebuffer write.
+
+Exact-semantics notes (validated against ref/tracer.py by tests):
+miss-as-0.0 sphere sentinel, tca<0 miss, negative-t wins, strict-< ordering
+(cubes before spheres), closest init 300000.0, first-in-order tie breaks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_ray_tracer_tpu.camera import Camera
+from opencl_ray_tracer_tpu.config import RenderConfig
+from opencl_ray_tracer_tpu.ops.intersect import EPSILON, MISS_T
+from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
+
+# Default tile: 512 pixels per grid step, primitives chunked 128 at a time.
+TILE_PIXELS = 512
+PRIM_CHUNK = 128
+
+# params vector layout (SMEM): camera affine bundle + material + lights.
+_P_O0, _P_DOX, _P_DOY, _P_D0, _P_DDX, _P_DDY = 0, 3, 6, 9, 12, 15
+_P_AMBIENT, _P_SPEC, _P_SHINE = 18, 19, 20
+_P_LIGHTS = 21  # then per light: pos(3) colour(3) intensity(1)
+_LIGHT_STRIDE = 7
+
+
+def _dot8(a, b):
+    """f32 one-hot gather matmul on the MXU, exact (highest precision)."""
+    return jnp.dot(
+        a, b, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+    )
+
+
+def _build_kernel(
+    *,
+    width: int,
+    tile_pixels: int,
+    n_tri_chunks: int,
+    n_sph_chunks: int,
+    n_lights: int,
+    shading: str,
+    shadows: bool,
+    normalize_dir: bool,
+):
+    """Build the fused kernel for a static configuration."""
+    TP = tile_pixels
+    CK = PRIM_CHUNK
+    wf = float(width)
+
+    def load_cam(params_ref, base):
+        return (params_ref[base], params_ref[base + 1], params_ref[base + 2])
+
+    def ray_dirs(params_ref, x, y):
+        d0 = load_cam(params_ref, _P_D0)
+        ddx = load_cam(params_ref, _P_DDX)
+        ddy = load_cam(params_ref, _P_DDY)
+        dx = d0[0] + x * ddx[0] + y * ddy[0]
+        dy = d0[1] + x * ddx[1] + y * ddy[1]
+        dz = d0[2] + x * ddx[2] + y * ddy[2]
+        if normalize_dir:
+            inv = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+            dx, dy, dz = dx * inv, dy * inv, dz * inv
+        return dx, dy, dz
+
+    def tri_chunk_t(tri_ref, c, ox, oy, oz, dx, dy, dz):
+        """Möller–Trumbore for one 128-triangle chunk: (TP, CK) t + valid."""
+        s = slice(c * CK, (c + 1) * CK)
+        v0x, v0y, v0z = tri_ref[0, s][None, :], tri_ref[1, s][None, :], tri_ref[2, s][None, :]
+        e1x, e1y, e1z = tri_ref[3, s][None, :], tri_ref[4, s][None, :], tri_ref[5, s][None, :]
+        e2x, e2y, e2z = tri_ref[6, s][None, :], tri_ref[7, s][None, :], tri_ref[8, s][None, :]
+
+        # pvec = d x e2
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_ok = jnp.abs(det) >= EPSILON
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        # tvec = o - v0
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        # qvec = tvec x e1
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+        valid = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        return t, valid
+
+    def sph_chunk_t(sph_ref, c, ox, oy, oz, dx, dy, dz):
+        """Geometric sphere test for one 128-sphere chunk (ref quirks kept)."""
+        s = slice(c * CK, (c + 1) * CK)
+        cx, cy, cz = sph_ref[0, s][None, :], sph_ref[1, s][None, :], sph_ref[2, s][None, :]
+        r = sph_ref[3, s][None, :]
+        lx, ly, lz = cx - ox, cy - oy, cz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        m2 = lx * lx + ly * ly + lz * lz - tca * tca
+        r2 = r * r
+        hit = (tca >= 0.0) & (m2 <= r2)
+        thc = jnp.sqrt(jnp.maximum(r2 - m2, 0.0))
+        t0 = tca - thc
+        valid = hit & (t0 != 0.0)  # exact-0 discarded (rayTracer.cl:176-177)
+        return t0, valid
+
+    def best_update(t, valid, attr_chunk, best_t, best_attr):
+        """Streaming nearest-hit update for one chunk (strict <)."""
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TP, CK), 1)
+        tpair = jnp.where(valid, t, MISS_T)
+        chunk_min = jnp.min(tpair, axis=1, keepdims=True)      # (TP, 1)
+        wins = chunk_min < best_t
+        first = jnp.min(
+            jnp.where(tpair == chunk_min, lane, CK), axis=1, keepdims=True
+        )
+        onehot = ((lane == first) & wins).astype(jnp.float32)  # (TP, CK)
+        upd = _dot8(onehot, attr_chunk)                        # (TP, 8)
+        best_attr = jnp.where(wins, upd, best_attr)
+        best_t = jnp.where(wins, chunk_min, best_t)
+        return best_t, best_attr
+
+    def trace_all(tri_ref, tri_attr_ref, sph_ref, sph_attr_ref, o, d):
+        """Full nearest-hit over every primitive chunk (cubes then spheres)."""
+        ox, oy, oz = o
+        dx, dy, dz = d
+        best_t = jnp.full((TP, 1), MISS_T, jnp.float32)
+        best_attr = jnp.zeros((TP, 8), jnp.float32)
+        for c in range(n_tri_chunks):
+            t, valid = tri_chunk_t(tri_ref, c, ox, oy, oz, dx, dy, dz)
+            attr_chunk = tri_attr_ref[c * CK : (c + 1) * CK, :]
+            best_t, best_attr = best_update(t, valid, attr_chunk, best_t, best_attr)
+        for c in range(n_sph_chunks):
+            t, valid = sph_chunk_t(sph_ref, c, ox, oy, oz, dx, dy, dz)
+            attr_chunk = sph_attr_ref[c * CK : (c + 1) * CK, :]
+            best_t, best_attr = best_update(t, valid, attr_chunk, best_t, best_attr)
+        return best_t, best_attr
+
+    def occluded_along(tri_ref, sph_ref, o, d, t_max):
+        """Shadow any-hit: anything in (eps, t_max) along d from o?"""
+        ox, oy, oz = o
+        dx, dy, dz = d
+        occ = jnp.zeros((TP, 1), bool)
+        for c in range(n_tri_chunks):
+            t, valid = tri_chunk_t(tri_ref, c, ox, oy, oz, dx, dy, dz)
+            blocked = valid & (t > 1e-3) & (t < t_max)
+            occ = occ | jnp.any(blocked, axis=1, keepdims=True)
+        for c in range(n_sph_chunks):
+            t, valid = sph_chunk_t(sph_ref, c, ox, oy, oz, dx, dy, dz)
+            blocked = valid & (t > 1e-3) & (t < t_max)
+            occ = occ | jnp.any(blocked, axis=1, keepdims=True)
+        return occ
+
+    def kernel(params_ref, tri_ref, tri_attr_ref, sph_ref, sph_attr_ref, out_ref):
+        pid = pl.program_id(0)
+        flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (TP, 1), 0).astype(jnp.float32)
+            + pid.astype(jnp.float32) * TP
+        )
+        y = jnp.floor(flat * (1.0 / wf))
+        # exact for integer-valued f32 below 2^24 (4K = 8.3M pixels: ok)
+        y = jnp.where(flat - y * wf < 0, y - 1, y)  # guard FP division edge
+        x = flat - y * wf
+
+        o0 = load_cam(params_ref, _P_O0)
+        dox = load_cam(params_ref, _P_DOX)
+        doy = load_cam(params_ref, _P_DOY)
+        ox = o0[0] + x * dox[0] + y * doy[0]
+        oy = o0[1] + x * dox[1] + y * doy[1]
+        oz = o0[2] + x * dox[2] + y * doy[2]
+        dx, dy, dz = ray_dirs(params_ref, x, y)
+
+        best_t, best_attr = trace_all(
+            tri_ref, tri_attr_ref, sph_ref, sph_attr_ref,
+            (ox, oy, oz), (dx, dy, dz),
+        )
+
+        hit = best_t < MISS_T
+        hitf = hit.astype(jnp.float32)
+        cr = best_attr[:, 0:1]
+        cg = best_attr[:, 1:2]
+        cb = best_attr[:, 2:3]
+
+        if shading == "legacy":
+            scalar = 255.0 - best_t * (255.0 / LEGACY_FOG_MAX)
+            r = jnp.where(hit, cr * scalar, 0.0)
+            g = jnp.where(hit, cg * scalar, 0.0)
+            b = jnp.where(hit, cb * scalar, 0.0)
+        else:
+            # Reconstruct normal + hit point for the winning primitive.
+            is_sph = best_attr[:, 7:8]
+            px = ox + best_t * dx
+            py = oy + best_t * dy
+            pz = oz + best_t * dz
+            ax = best_attr[:, 3:4]
+            ay = best_attr[:, 4:5]
+            az = best_attr[:, 5:6]
+            rad = best_attr[:, 6:7]
+            # sphere: n = (p - c) / r ; triangle: stored unit normal, flipped
+            # against the ray.
+            nsx = (px - ax) / jnp.maximum(rad, 1e-20)
+            nsy = (py - ay) / jnp.maximum(rad, 1e-20)
+            nsz = (pz - az) / jnp.maximum(rad, 1e-20)
+            flip = jnp.where(ax * dx + ay * dy + az * dz > 0, -1.0, 1.0)
+            ntx, nty, ntz = ax * flip, ay * flip, az * flip
+            nx = jnp.where(is_sph > 0.5, nsx, ntx)
+            ny = jnp.where(is_sph > 0.5, nsy, nty)
+            nz = jnp.where(is_sph > 0.5, nsz, ntz)
+            ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+            nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+
+            vinv = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
+            vx, vy, vz = -dx * vinv, -dy * vinv, -dz * vinv
+
+            ambient = params_ref[_P_AMBIENT]
+            spec_k = params_ref[_P_SPEC]
+            shine = params_ref[_P_SHINE]
+
+            diff_r = jnp.zeros((TP, 1), jnp.float32)
+            diff_g = jnp.zeros((TP, 1), jnp.float32)
+            diff_b = jnp.zeros((TP, 1), jnp.float32)
+            spec_r = jnp.zeros((TP, 1), jnp.float32)
+            spec_g = jnp.zeros((TP, 1), jnp.float32)
+            spec_b = jnp.zeros((TP, 1), jnp.float32)
+            for li in range(n_lights):
+                base = _P_LIGHTS + li * _LIGHT_STRIDE
+                lpx, lpy, lpz = (
+                    params_ref[base], params_ref[base + 1], params_ref[base + 2]
+                )
+                lcr, lcg, lcb = (
+                    params_ref[base + 3], params_ref[base + 4], params_ref[base + 5]
+                )
+                lint = params_ref[base + 6]
+                tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+                dist = jnp.sqrt(
+                    jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+                )
+                ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+                ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+                if shadows:
+                    sox = px + 1e-2 * nx
+                    soy = py + 1e-2 * ny
+                    soz = pz + 1e-2 * nz
+                    occ = occluded_along(
+                        tri_ref, sph_ref, (sox, soy, soz), (ldx, ldy, ldz), dist
+                    )
+                    vis = jnp.where(occ, 0.0, 1.0)
+                else:
+                    vis = 1.0
+                wdiff = lint * ndotl * vis
+                diff_r += wdiff * lcr
+                diff_g += wdiff * lcg
+                diff_b += wdiff * lcb
+                if shading == "phong":
+                    # r = 2(n.l)n - l ; spec = k * max(r.v, 0)^shine
+                    two_ndl = 2.0 * (nx * ldx + ny * ldy + nz * ldz)
+                    rx = two_ndl * nx - ldx
+                    ry = two_ndl * ny - ldy
+                    rz = two_ndl * nz - ldz
+                    rdotv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
+                    wspec = (
+                        spec_k
+                        * jnp.exp(shine * jnp.log(jnp.maximum(rdotv, 1e-20)))
+                        * lint
+                        * vis
+                        * (ndotl > 0.0)
+                    )
+                    spec_r += wspec * lcr
+                    spec_g += wspec * lcg
+                    spec_b += wspec * lcb
+
+            r = jnp.clip(cr * (ambient + diff_r) + spec_r, 0.0, 1.0) * 255.0
+            g = jnp.clip(cg * (ambient + diff_g) + spec_g, 0.0, 1.0) * 255.0
+            b = jnp.clip(cb * (ambient + diff_b) + spec_b, 0.0, 1.0) * 255.0
+            r = jnp.where(hit, r, 0.0)
+            g = jnp.where(hit, g, 0.0)
+            b = jnp.where(hit, b, 0.0)
+
+        alpha = jnp.full((TP, 1), 255.0, jnp.float32)
+        zeros = jnp.zeros((TP, 1), jnp.float32)
+        res = jnp.concatenate(
+            [r, g, b, alpha, best_t, hitf, zeros, zeros], axis=1
+        )  # (TP, 8)
+        out_ref[:, :] = res.T  # (8, TP)
+
+    return kernel
+
+
+def _prep_scene_arrays(packed):
+    """PackedScene -> kernel operand arrays (pure jnp, differentiable).
+
+    tri geometry: (9, Tp) rows [v0(3), e1(3), e2(3)]
+    tri attrs:    (Tp, 8) rows [r, g, b, nx, ny, nz, 0, 0] (unit normals)
+    sph geometry: (4, Sp) rows [cx, cy, cz, rad]
+    sph attrs:    (Sp, 8) rows [r, g, b, cx, cy, cz, rad, 1]
+    """
+    tri_geo = jnp.concatenate(
+        [packed.tri_v0, packed.tri_e1, packed.tri_e2], axis=0
+    )
+    n = jnp.cross(packed.tri_e1.T, packed.tri_e2.T)  # (Tp, 3)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    tp = packed.padded_tris
+    tri_attr = jnp.concatenate(
+        [packed.tri_colour.T[:, :3], n, jnp.zeros((tp, 2), jnp.float32)], axis=1
+    )
+
+    sph_geo = jnp.concatenate([packed.sph_origin, packed.sph_radius], axis=0)
+    sp = packed.padded_spheres
+    sph_attr = jnp.concatenate(
+        [
+            packed.sph_colour.T[:, :3],
+            packed.sph_origin.T,
+            packed.sph_radius.T,
+            jnp.ones((sp, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+    return tri_geo, tri_attr, sph_geo, sph_attr
+
+
+def _camera_params(camera: Camera, lights) -> jax.Array:
+    parts = [
+        camera.o0, camera.dox, camera.doy, camera.d0, camera.ddx, camera.ddy,
+        jnp.stack([lights.ambient, lights.spec_strength, lights.shininess]),
+    ]
+    n_lights = lights.position.shape[0]
+    for li in range(n_lights):
+        parts.append(lights.position[li])
+        parts.append(lights.colour[li])
+        parts.append(lights.intensity[li : li + 1])
+    return jnp.concatenate([p.astype(jnp.float32) for p in parts])
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "shading", "shadows", "normalize_dir",
+        "tile_pixels", "as_int", "interpret",
+    ),
+)
+def _render_pallas_jit(
+    packed,
+    camera: Camera,
+    *,
+    height: int,
+    width: int,
+    shading: str,
+    shadows: bool,
+    normalize_dir: bool,
+    tile_pixels: int = TILE_PIXELS,
+    as_int: bool = True,
+    interpret: bool = False,
+):
+    tri_geo, tri_attr, sph_geo, sph_attr = _prep_scene_arrays(packed)
+    params = _camera_params(camera, packed.lights)
+
+    tp_pix = tile_pixels
+    n_pix = height * width
+    p_pad = ((n_pix + tp_pix - 1) // tp_pix) * tp_pix
+    grid = (p_pad // tp_pix,)
+
+    n_tri_chunks = packed.padded_tris // PRIM_CHUNK if packed.n_tris else 0
+    n_sph_chunks = packed.padded_spheres // PRIM_CHUNK if packed.n_spheres else 0
+
+    kernel = _build_kernel(
+        width=width,
+        tile_pixels=tp_pix,
+        n_tri_chunks=n_tri_chunks,
+        n_sph_chunks=n_sph_chunks,
+        n_lights=packed.lights.position.shape[0],
+        shading=shading,
+        shadows=shadows,
+        normalize_dir=normalize_dir,
+    )
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((8, p_pad), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full(tri_geo.shape),
+            full(tri_attr.shape),
+            full(sph_geo.shape),
+            full(sph_attr.shape),
+        ],
+        out_specs=pl.BlockSpec((8, tp_pix), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(params, tri_geo, tri_attr, sph_geo, sph_attr)
+
+    rgba = out[0:4, :n_pix].T.reshape(height, width, 4)
+    if as_int:
+        return jnp.trunc(rgba).astype(jnp.int32)
+    return rgba
+
+
+def render_pallas(
+    scene,
+    camera: Camera,
+    config: RenderConfig,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Render with the fused Pallas megakernel. Returns (H, W, 4)."""
+    packed = scene.pack()
+    if interpret is None:
+        interpret = _use_interpret()
+    return _render_pallas_jit(
+        packed,
+        camera,
+        height=config.height,
+        width=config.width,
+        shading=config.shading,
+        shadows=config.shadows,
+        normalize_dir=camera.normalize,
+        as_int=config.framebuffer_dtype == "int",
+        interpret=interpret,
+    )

@@ -1,0 +1,103 @@
+"""Renderer facade — the model families of this framework.
+
+A "model" here is a renderer configuration: shading model x backend x
+hard/soft. The facade dispatches to:
+
+  reference -> ref/tracer.py      (CPU oracle, the reference's CPU mode)
+  xla       -> models/xla_backend (whole-program XLA on the default device)
+  pallas    -> kernels/           (fused Pallas megakernel, the OpenCL-kernel
+                                   equivalent — rayTracer.cl:111-202 role)
+
+plus named convenience families mirroring how the reference exposes its
+pipeline (legacy depth-fog) and the BASELINE.json extensions (lambert /
+phong / soft-differentiable).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+
+from opencl_ray_tracer_tpu.camera import Camera, legacy_ortho_camera
+from opencl_ray_tracer_tpu.config import RenderConfig
+from opencl_ray_tracer_tpu.runtime import Backend, resolve_backend
+
+
+def render(
+    scene,
+    camera: Optional[Camera] = None,
+    config: Optional[RenderConfig] = None,
+    backend: Union[Backend, str, None] = None,
+) -> jax.Array:
+    """Render a frame. Returns the framebuffer (H, W, 4), int32 or float32
+    depending on config.framebuffer_dtype."""
+    config = config or RenderConfig()
+    camera = camera or legacy_ortho_camera()
+    b = resolve_backend(backend if backend is not None else config.backend)
+
+    if config.soft:
+        from opencl_ray_tracer_tpu.diff import render_soft
+
+        return render_soft(scene, camera, config)
+
+    if b == Backend.REFERENCE:
+        from opencl_ray_tracer_tpu.ref import render_reference
+
+        return render_reference(scene, camera, config)
+    if b == Backend.XLA:
+        from opencl_ray_tracer_tpu.models.xla_backend import render_xla
+
+        return render_xla(scene, camera, config)
+    if b == Backend.PALLAS:
+        from opencl_ray_tracer_tpu.kernels import render_pallas
+
+        return render_pallas(scene, camera, config)
+    raise ValueError(f"unknown backend {b}")
+
+
+class Renderer:
+    """Stateful facade bundling a config + camera, with per-backend render
+    methods — the object a user of the reference's MainState would reach for."""
+
+    def __init__(
+        self,
+        config: Optional[RenderConfig] = None,
+        camera: Optional[Camera] = None,
+    ):
+        self.config = (config or RenderConfig()).validate()
+        self.camera = camera or legacy_ortho_camera()
+
+    def render(self, scene, backend: Union[Backend, str, None] = None) -> jax.Array:
+        return render(scene, self.camera, self.config, backend=backend)
+
+    def render_cpu(self, scene) -> jax.Array:
+        """The reference's CPU mode (executeRayTracerCPU equivalent)."""
+        return self.render(scene, backend=Backend.REFERENCE)
+
+    def render_accelerated(self, scene) -> jax.Array:
+        """The reference's OpenCL mode (executeRayTracerOpenCL equivalent)."""
+        return self.render(scene, backend=None)
+
+
+# -- named families ---------------------------------------------------------
+
+def get_renderer(family: str, width: int = 640, height: int = 480, **kw) -> Renderer:
+    """Renderer families by name:
+
+    legacy         — exact reference pipeline (depth fog, int framebuffer)
+    lambert        — point lights + Lambertian diffuse
+    phong          — Phong + hard shadows
+    soft / diff    — soft-edge differentiable renderer (float framebuffer)
+    """
+    presets = {
+        "legacy": dict(shading="legacy", framebuffer_dtype="int"),
+        "lambert": dict(shading="lambert", framebuffer_dtype="float"),
+        "phong": dict(shading="phong", shadows=True, framebuffer_dtype="float"),
+        "soft": dict(shading="lambert", soft=True, framebuffer_dtype="float"),
+        "diff": dict(shading="lambert", soft=True, framebuffer_dtype="float"),
+    }
+    if family not in presets:
+        raise ValueError(f"unknown renderer family {family!r}; have {list(presets)}")
+    opts = {**presets[family], **kw}
+    return Renderer(RenderConfig(width=width, height=height, **opts).validate())

@@ -1,0 +1,137 @@
+"""Device mesh + sharded rendering.
+
+The reference has exactly one parallel axis — pixels — mapped to a flat 1-D
+OpenCL NDRange on one device (MainState.cpp:858; SURVEY.md §2 parallelism
+note). The TPU design extends the same axis up the hierarchy:
+
+  intra-chip:  Pallas grid over pixel tiles          (kernels/fwd.py)
+  inter-chip:  image ROWS sharded over a 1-D mesh    (this module)
+  multi-host:  same mesh spanning hosts via jax.distributed (distributed.py)
+
+The scene is REPLICATED per chip (it is ~70 KB — the broadcast the reference
+does with read-only buffers), the framebuffer stays device-resident in row
+shards (no gather except for display/PNG), and the forward pass needs ZERO
+inter-chip communication because pixels are independent. The backward pass
+all-reduces scene-parameter gradients over ICI (parallel/train.py).
+
+Ray generation is what makes row-sharding free: cameras are affine ray
+bundles (camera.py), so shard i just offsets the bundle origin by its first
+row — no (H, W) index arrays ever exist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from opencl_ray_tracer_tpu.camera import Camera
+from opencl_ray_tracer_tpu.config import RenderConfig
+
+IMAGE_AXIS = "image"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = IMAGE_AXIS) -> Mesh:
+    """1-D mesh over the image axis (the only axis this workload has)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shift_camera_rows(camera: Camera, row0) -> Camera:
+    """Camera for an image slice starting at absolute row `row0`: shift the
+    affine bundle along its row derivative. Exact — the shard renders the
+    same rays the full camera would."""
+    r = jnp.asarray(row0, jnp.float32)
+    return dataclasses.replace(
+        camera,
+        o0=camera.o0 + r * camera.doy,
+        d0=camera.d0 + r * camera.ddy,
+    )
+
+
+def _render_rows(scene, camera, h, w, config: RenderConfig):
+    """Un-jitted row-block renderer used inside shard_map."""
+    # jit-in-jit is inlined during tracing, so the cached jitted entry points
+    # are safe to reuse inside shard_map.
+    if config.soft:
+        from opencl_ray_tracer_tpu.diff.soft import render_soft_jit
+
+        return render_soft_jit(
+            scene,
+            camera,
+            jnp.float32(config.tau_depth),
+            jnp.float32(config.tau_edge),
+            height=h,
+            width=w,
+            shading=config.shading if config.shading != "phong" else "lambert",
+        )
+    from opencl_ray_tracer_tpu.models.xla_backend import render_xla_jit
+
+    return render_xla_jit(
+        scene,
+        camera,
+        height=h,
+        width=w,
+        shading=config.shading,
+        shadows=config.shadows,
+        as_int=config.framebuffer_dtype == "int",
+    )
+
+
+def render_sharded(
+    scene,
+    camera: Camera,
+    config: RenderConfig,
+    mesh: Optional[Mesh] = None,
+    axis: str = IMAGE_AXIS,
+) -> jax.Array:
+    """Render with image rows sharded across the mesh.
+
+    Returns the full (H, W, 4) framebuffer as a sharded global array (row
+    shards live on their devices; host gather only happens if the caller
+    pulls it to numpy — the display/PNG path).
+    """
+    mesh = mesh or make_mesh()
+    n = mesh.shape[axis]
+    h, w = config.height, config.width
+    if h % n:
+        raise ValueError(f"height {h} not divisible by mesh size {n}")
+    h_local = h // n
+
+    spec_repl = P()
+    out_spec = P(axis, None, None)
+
+    @partial(jax.jit, static_argnums=())
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_repl, spec_repl),
+        out_specs=out_spec,
+        check_rep=False,
+    )
+    def run(scene_, camera_):
+        idx = jax.lax.axis_index(axis)
+        cam_local = shift_camera_rows(camera_, idx * h_local)
+        return _render_rows(scene_, cam_local, h_local, w, config)
+
+    return run(scene, camera)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh (the scene broadcast)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_rows(array, mesh: Mesh, axis: str = IMAGE_AXIS):
+    """Shard a (H, ...) array by rows over the mesh (e.g. a target image)."""
+    spec = P(axis, *([None] * (array.ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))

@@ -1,0 +1,121 @@
+"""Distributed differentiable-rendering train step.
+
+The inverse-rendering capstone (BASELINE.json config 5): fit scene parameters
+to a target image by gradient descent, scaled over the device mesh:
+
+  - image rows SHARDED over the mesh ('image' axis)
+  - scene + optimizer state REPLICATED
+  - forward+backward run per shard on local rows (zero communication —
+    pixels are independent)
+  - scene-parameter grads are partial sums over local pixels, so one
+    jax.lax.psum over the mesh axis completes them: this is THE collective
+    of the workload, riding ICI intra-host / DCN across hosts. XLA overlaps
+    it with the remaining backward computation where profitable.
+
+The train step is a single pjit/shard_map program: one compile, one launch
+per step, exactly the XLA execution model the kernel guide prescribes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from opencl_ray_tracer_tpu.camera import Camera
+from opencl_ray_tracer_tpu.config import RenderConfig
+from opencl_ray_tracer_tpu.parallel.mesh import (
+    IMAGE_AXIS,
+    make_mesh,
+    shift_camera_rows,
+)
+from opencl_ray_tracer_tpu.diff.soft import render_soft_jit
+
+
+class TrainState(NamedTuple):
+    scene: object          # Scene pytree (all leaves trainable)
+    opt_state: object
+    step: jax.Array
+
+
+def make_train_step(
+    camera: Camera,
+    config: RenderConfig,
+    optimizer: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    axis: str = IMAGE_AXIS,
+    param_filter: Optional[Callable] = None,
+) -> Callable:
+    """Build the jitted sharded train step.
+
+    Returns step(state: TrainState, target: (H, W, 4) row-sharded float32)
+    -> (state, loss). `param_filter(path_tuple) -> bool` optionally freezes
+    leaves (grads zeroed) — e.g. train only sphere parameters.
+    """
+    mesh = mesh or make_mesh()
+    n = mesh.shape[axis]
+    h, w = config.height, config.width
+    if h % n:
+        raise ValueError(f"height {h} not divisible by mesh size {n}")
+    h_local = h // n
+    shading = config.shading if config.shading != "phong" else "lambert"
+    inv_npix = 1.0 / (h * w * 3.0)
+
+    def local_loss(scene, camera_, target_local, row0):
+        cam_local = shift_camera_rows(camera_, row0)
+        img = render_soft_jit(
+            scene,
+            cam_local,
+            jnp.float32(config.tau_depth),
+            jnp.float32(config.tau_edge),
+            height=h_local,
+            width=w,
+            shading=shading,
+        )
+        diff = (img[..., :3] - target_local[..., :3]) * (1.0 / 255.0)
+        return jnp.sum(diff * diff) * inv_npix
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis, None, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def sharded_grad(scene, camera_, opt_dummy, target_local):
+        idx = jax.lax.axis_index(axis)
+        loss, grads = jax.value_and_grad(local_loss)(
+            scene, camera_, target_local, idx * h_local
+        )
+        # THE collective: complete the scene-param grads across row shards.
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        return loss, grads
+
+    @jax.jit
+    def step(state: TrainState, target) -> tuple:
+        loss, grads = sharded_grad(state.scene, camera, state.opt_state, target)
+        if param_filter is not None:
+            flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
+            flat = [
+                (p, g if param_filter(p) else jnp.zeros_like(g)) for p, g in flat
+            ]
+            grads = jax.tree_util.tree_unflatten(treedef, [g for _, g in flat])
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
+        scene = optax.apply_updates(state.scene, updates)
+        return TrainState(scene, opt_state, state.step + 1), loss
+
+    return step
+
+
+def init_train_state(scene, optimizer: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        scene=scene,
+        opt_state=optimizer.init(scene),
+        step=jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,60 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the "fake backend" strategy from SURVEY.md §4: sharding code paths
+exercise a real Mesh without TPU hardware, and Pallas kernels run in
+interpret mode (selected inside the kernels when the platform is CPU).
+"""
+
+import os
+
+# The session environment pins JAX_PLATFORMS=axon (the tunneled TPU) and the
+# interpreter's sitecustomize imports jax at startup, so env vars alone are
+# too late. jax.config.update works until the backend is first used, and
+# XLA_FLAGS is read at backend-init time, so both overrides below still land.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_devices():
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs
+
+
+@pytest.fixture(scope="session")
+def scene1():
+    from opencl_ray_tracer_tpu import create_scene1
+
+    return create_scene1()
+
+
+@pytest.fixture(scope="session")
+def scene2():
+    from opencl_ray_tracer_tpu import create_scene2
+
+    return create_scene2(seed=7)
+
+
+@pytest.fixture(scope="session")
+def scene3_small():
+    """Scene-3-style stress scene at reduced count for CI speed."""
+    from opencl_ray_tracer_tpu import random_scene
+
+    return random_scene(20, 20, seed=3)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

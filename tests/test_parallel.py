@@ -1,0 +1,126 @@
+"""Sharding tests on the virtual 8-device CPU mesh (the fake backend for
+multi-chip, SURVEY.md §4): sharded render == single-device render, and the
+distributed train step's psum'd grads == single-device grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from opencl_ray_tracer_tpu import RenderConfig, legacy_ortho_camera
+from opencl_ray_tracer_tpu.diff import render_soft
+from opencl_ray_tracer_tpu.models.xla_backend import render_xla
+from opencl_ray_tracer_tpu.parallel import (
+    init_train_state,
+    make_mesh,
+    make_train_step,
+    render_sharded,
+    replicate,
+    shard_rows,
+)
+
+W, H = 128, 64
+
+
+def test_mesh_has_8_devices(eight_devices):
+    mesh = make_mesh(8)
+    assert mesh.shape["image"] == 8
+
+
+def test_sharded_render_matches_unsharded(scene1, eight_devices):
+    cfg = RenderConfig(width=W, height=H, shading="legacy")
+    cam = legacy_ortho_camera()
+    full = np.asarray(render_xla(scene1, cam, cfg))
+    mesh = make_mesh(8)
+    sharded = render_sharded(scene1, cam, cfg, mesh=mesh)
+    assert sharded.shape == (H, W, 4)
+    np.testing.assert_array_equal(np.asarray(sharded), full)
+
+
+def test_sharded_render_is_actually_sharded(scene1, eight_devices):
+    cfg = RenderConfig(width=W, height=H, shading="legacy")
+    mesh = make_mesh(8)
+    out = render_sharded(scene1, legacy_ortho_camera(), cfg, mesh=mesh)
+    shardings = {s.device for s in out.addressable_shards}
+    assert len(shardings) == 8, "framebuffer should live row-sharded on 8 devices"
+
+
+def test_sharded_soft_render(scene1, eight_devices):
+    cfg = RenderConfig(
+        width=W, height=H, shading="lambert", soft=True, framebuffer_dtype="float"
+    )
+    cam = legacy_ortho_camera()
+    mesh = make_mesh(8)
+    sharded = np.asarray(render_sharded(scene1, cam, cfg, mesh=mesh))
+    full = np.asarray(render_soft(scene1, cam, cfg))
+    np.testing.assert_allclose(sharded, full, atol=1e-3)
+
+
+def test_train_step_grads_match_single_device(eight_devices):
+    from opencl_ray_tracer_tpu.scene import Scene
+
+    scene = Scene.build(
+        sphere_origin=[[64.0, 32.0, -40.0]],
+        sphere_radius=[18.0],
+        sphere_colour=[[1.0, 0.2, 0.2, 255.0]],
+    )
+    cfg = RenderConfig(
+        width=W, height=H, shading="lambert", soft=True,
+        framebuffer_dtype="float", tau_depth=1.0, tau_edge=0.25,
+    )
+    cam = legacy_ortho_camera()
+    target = jnp.zeros((H, W, 4), jnp.float32)
+
+    # single-device reference grads
+    def loss_fn(s):
+        img = render_soft(s, cam, cfg)
+        d = (img[..., :3] - target[..., :3]) / 255.0
+        return jnp.sum(d * d) / (H * W * 3.0)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(scene)
+
+    mesh = make_mesh(8)
+    optimizer = optax.sgd(0.0)  # lr 0: state unchanged, pure grad check
+    step = make_train_step(cam, cfg, optimizer, mesh=mesh)
+    state = init_train_state(replicate(scene, mesh), optimizer)
+    new_state, loss = step(state, shard_rows(target, mesh))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    # lr=0 => scene unchanged
+    np.testing.assert_allclose(
+        np.asarray(new_state.scene.sphere_origin),
+        np.asarray(scene.sphere_origin),
+    )
+
+
+def test_train_step_reduces_loss(eight_devices):
+    from opencl_ray_tracer_tpu.scene import Scene
+
+    scene_true = Scene.build(
+        sphere_origin=[[64.0, 32.0, -40.0]],
+        sphere_radius=[18.0],
+        sphere_colour=[[1.0, 0.2, 0.2, 255.0]],
+    )
+    scene_init = Scene.build(
+        sphere_origin=[[70.0, 36.0, -40.0]],
+        sphere_radius=[15.0],
+        sphere_colour=[[0.8, 0.3, 0.3, 255.0]],
+    )
+    cfg = RenderConfig(
+        width=W, height=H, shading="lambert", soft=True,
+        framebuffer_dtype="float", tau_depth=1.0, tau_edge=0.5,
+    )
+    cam = legacy_ortho_camera()
+    target = render_soft(scene_true, cam, cfg)
+
+    mesh = make_mesh(8)
+    optimizer = optax.adam(0.3)
+    step = make_train_step(cam, cfg, optimizer, mesh=mesh)
+    state = init_train_state(replicate(scene_init, mesh), optimizer)
+    tgt = shard_rows(target, mesh)
+
+    losses = []
+    for _ in range(25):
+        state, loss = step(state, tgt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
