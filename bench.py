@@ -5,13 +5,14 @@
 
 Headline metric (BASELINE.md): primary rays/s/chip at 1080p, forward, on the
 BASELINE.json config-2 scene (10 spheres + 1 cube, Phong + hard shadows),
-fused Pallas megakernel. vs_baseline is against the 1e9 rays/s/chip target.
+fused Pallas kernels. vs_baseline is against the 1e9 rays/s/chip target.
+
+Timing: N frames inside one jitted lax.scan with per-frame camera jitter and
+scalar consumption (see opencl_ray_tracer_tpu/bench_util.py) — this measures
+device compute, not the control-tunnel latency of this environment.
 
 Extra context rows (other scenes/modes) go to stderr so stdout stays one line.
-
-Run on the real chip: plain `python bench.py` under the session env
-(JAX_PLATFORMS=axon). Scene coordinates are scaled to fill the 1080p frame
-(the reference's scenes live in 640x480 image-space units).
+Run on the real chip: plain `python bench.py` under the session env.
 """
 
 from __future__ import annotations
@@ -22,21 +23,30 @@ import sys
 import jax
 
 from opencl_ray_tracer_tpu import RenderConfig, legacy_ortho_camera
-from opencl_ray_tracer_tpu.kernels import render_pallas
+from opencl_ray_tracer_tpu.bench_util import device_frame_time_us
+from opencl_ray_tracer_tpu.kernels.fwd import render_pallas_packed
+from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled_packed
 from opencl_ray_tracer_tpu.scene import random_scene
-from opencl_ray_tracer_tpu.utils import time_fn
 
 TARGET_RAYS_PER_S = 1.0e9  # BASELINE.md north-star target per v5e chip
 
 W, H = 1920, 1080
 
 
-def bench_config(scene, config, iters=20, warmup=3):
+def bench_config(scene, config, tiled=True, n_frames=20):
     cam = legacy_ortho_camera()
-    fn = lambda: render_pallas(scene, cam, config)
-    stats = time_fn(fn, iters=iters, warmup=warmup)
-    rays_per_s = (config.width * config.height) / (stats["median_us"] / 1e6)
-    return stats, rays_per_s
+    packed = jax.device_put(scene.pack())
+    if tiled:
+        fn = lambda c: render_tiled_packed(packed, c, config, interpret=False)
+    else:
+        fn = lambda c: render_pallas_packed(packed, c, config, interpret=False)
+    us = device_frame_time_us(fn, cam, n_frames=n_frames)
+    rays_per_s = (config.width * config.height) / (us / 1e6)
+    return us, rays_per_s
+
+
+def row(label, us, rays):
+    print(f"# {label}: {us:.0f} us/frame -> {rays:.3e} rays/s", file=sys.stderr)
 
 
 def main() -> None:
@@ -44,36 +54,27 @@ def main() -> None:
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
           file=sys.stderr)
 
-    # Headline: config 2 — 10 spheres + 1 cube, 1080p, phong + hard shadows.
     scene_hl = random_scene(10, 1, seed=0, bounds=(float(W) - 10, float(H) - 10))
     cfg_hl = RenderConfig(
         width=W, height=H, shading="phong", shadows=True,
         framebuffer_dtype="float",
     )
-    stats, rays = bench_config(scene_hl, cfg_hl)
-    print(
-        f"# headline phong+shadows 1080p 10sph+1cube: {stats['median_us']:.0f} us "
-        f"-> {rays:.3e} rays/s", file=sys.stderr,
-    )
+    us, rays = bench_config(scene_hl, cfg_hl, tiled=True)
+    row("headline tiled phong+shadows 1080p 10sph+1cube", us, rays)
 
-    # Context: legacy shading same scene; stress scene 100+100.
     try:
         cfg_legacy = RenderConfig(width=W, height=H, shading="legacy")
-        st2, r2 = bench_config(scene_hl, cfg_legacy, iters=10)
-        print(
-            f"# legacy 1080p 10sph+1cube: {st2['median_us']:.0f} us -> {r2:.3e} rays/s",
-            file=sys.stderr,
-        )
+        u2, r2 = bench_config(scene_hl, cfg_legacy, tiled=True)
+        row("tiled legacy 1080p 10sph+1cube", u2, r2)
+        u2b, r2b = bench_config(scene_hl, cfg_legacy, tiled=False, n_frames=10)
+        row("brute legacy 1080p 10sph+1cube", u2b, r2b)
         scene_stress = random_scene(
             100, 100, seed=0, bounds=(float(W) - 10, float(H) - 10)
         )
-        st3, r3 = bench_config(scene_stress, cfg_legacy, iters=5, warmup=2)
-        print(
-            f"# legacy 1080p 100sph+100cubes (1200 tris): {st3['median_us']:.0f} us "
-            f"-> {r3:.3e} rays/s", file=sys.stderr,
-        )
+        u3, r3 = bench_config(scene_stress, cfg_legacy, tiled=True, n_frames=10)
+        row("tiled legacy 1080p 100sph+100cubes (1200 tris)", u3, r3)
     except Exception as e:  # context rows must never kill the headline
-        print(f"# context bench failed: {e}", file=sys.stderr)
+        print(f"# context bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     print(
         json.dumps(

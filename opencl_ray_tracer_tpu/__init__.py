@@ -32,6 +32,26 @@ Public API lives here; subpackages:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: kernel compiles go through a slow remote
+# path on the tunneled TPU of this environment (~15-300s per new shape);
+# the cache makes every repeat process start ~instant. Opt out with
+# OCTRT_NO_COMPILE_CACHE=1 or point elsewhere with JAX_COMPILATION_CACHE_DIR.
+if not _os.environ.get("OCTRT_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/octrt_jax_cache"
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache setup break imports
+        pass
+
 from opencl_ray_tracer_tpu.config import RenderConfig, Settings
 from opencl_ray_tracer_tpu.camera import Camera, legacy_ortho_camera, pinhole_camera
 from opencl_ray_tracer_tpu.scene import (

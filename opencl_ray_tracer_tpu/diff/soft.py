@@ -106,7 +106,20 @@ def _soft_aggregate(ts, covs, colours, tau_d, bg_colour):
       2. WHETHER any primitive covers the pixel: w_bg = prod_i (1 - cov_i),
          the smooth probability that no primitive covers it.
     """
-    logit = -ts / tau_d + jnp.log(jnp.clip(covs, 1e-20, 1.0))
+    # Ranking logit with a hard VALIDITY cut: primitives with effectively
+    # zero coverage (cov <= 1e-12 — invisible at this pixel, incl. any
+    # padding lanes in the Pallas twin) get logit -1e30 and exactly zero
+    # weight, so they can never outrank a real candidate via the depth term.
+    # Depth is deliberately UNclamped for valid candidates: a primitive that
+    # genuinely covers the pixel with negative t wins the softmin, exactly
+    # like the reference's negative-t-wins quirk in hard mode
+    # (rayTracer.cl:74-77, 162). If every lane is invalid, the softmax goes
+    # uniform over junk — harmless, because (1 - w_bg) ~ sum(cov) ~ 0
+    # suppresses the whole foreground term.
+    valid = covs > 1e-12
+    logit = jnp.where(
+        valid, -ts / tau_d + jnp.log(jnp.clip(covs, 1e-12, 1.0)), -1e30
+    )
     w_prim = jax.nn.softmax(logit, axis=-1)                    # (..., N)
     w_bg = jnp.exp(
         jnp.sum(jnp.log1p(-jnp.clip(covs, 0.0, 1.0 - 1e-6)), axis=-1, keepdims=True)
@@ -158,6 +171,8 @@ def trace_soft(scene, o, d, *, shading: str, tau_d: float, tau_e: float):
 
     bg = jnp.zeros(3, jnp.float32)
     rgb = _soft_aggregate(ts, covs, cols, tau_d, bg)
+    if shading != "legacy":
+        rgb = jnp.clip(rgb, 0.0, 255.0)
     alpha = jnp.full(lead + (1,), 255.0, jnp.float32)
     return jnp.concatenate([rgb, alpha], axis=-1)
 
@@ -185,7 +200,10 @@ def _shade_prim(scene, o, d_b, t, normals, base_colour, shading):
                 lights.intensity[li] * ndotl[..., None] * lights.colour[li]
             )
         rgb = albedo * (lights.ambient + diffuse)
-        return jnp.clip(rgb, 0.0, 1.0) * 255.0
+        # NOTE: clipping happens post-aggregation in trace_soft (linear
+        # blending of unclipped radiance), matching the Pallas soft kernel's
+        # factored (weights @ albedo) accumulation.
+        return rgb * 255.0
     raise ValueError(f"soft shading mode {shading!r} not supported (legacy/lambert)")
 
 

@@ -1,0 +1,638 @@
+"""Tiled Pallas kernel with per-tile primitive culling (shared-dir cameras).
+
+The brute-force megakernel (fwd.py) tests every pixel against every
+primitive slot, and its 128-wide lane chunks mean even a 22-primitive scene
+pays 256 slots per pixel. This kernel is the acceleration structure the
+reference never had (SURVEY.md §2: "no BVH"), built the TPU way — as a
+dense two-level grid, not a pointer tree:
+
+1. BINNING (XLA, per frame, ~0.1 ms): with the legacy camera's shared
+   direction (0,0,-1), a primitive can only cover a 64x128-pixel tile if its
+   screen-space bbox overlaps the tile rect. A (tiles x prims) overlap
+   matrix -> top-K compaction gives each tile a padded candidate list; the
+   affine intersection COEFFICIENTS (fwd.py _prep_affine_coefs) are gathered
+   into per-tile tables.
+2. TRACE (Pallas): one grid step per tile. Layout is transposed vs fwd.py:
+   PRIMITIVES live on the SUBLANE axis (8-granular — a 16-candidate tile
+   costs 16 slots, not 128) and 512-pixel sub-blocks live on the LANE axis.
+   Attribute gather is a (8, K) @ (K, 512) MXU matmul; no transposes
+   anywhere — per-pixel state is kept as (8, TP) rows and written straight
+   to the output block.
+3. OVERFLOW: if any tile has more than K candidates the whole frame falls
+   back to the brute kernel via jax.lax.cond — never silently wrong.
+
+Shadows: shadow rays have per-pixel directions, so the shadow loop runs the
+general Möller–Trumbore/sphere tests — but still over sublane-chunked
+primitives (padded to 8, not 128), which is what makes phong+shadows cheap
+for small scenes.
+
+Output is (8, n_tiles, TILE_PIX); the wrapper untangles tiles to (H, W)
+with one XLA reshape/transpose pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_ray_tracer_tpu.camera import Camera
+from opencl_ray_tracer_tpu.config import RenderConfig
+from opencl_ray_tracer_tpu.kernels.fwd import (
+    _LIGHT_STRIDE,
+    _P_AMBIENT,
+    _P_D0,
+    _P_DDX,
+    _P_DDY,
+    _P_DOX,
+    _P_DOY,
+    _P_LIGHTS,
+    _P_O0,
+    _P_SHINE,
+    _P_SPEC,
+    _camera_params,
+    _prep_affine_coefs,
+    _prep_scene_arrays,
+    _use_interpret,
+)
+from opencl_ray_tracer_tpu.ops.intersect import EPSILON, MISS_T
+from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
+
+TILE_H = 64
+TILE_W = 128
+TILE_PIX = TILE_H * TILE_W       # 8192
+# One pass covers the whole tile: (K, 8192) temporaries keep the VPU busy
+# and amortize per-iteration overhead (512-px sub-blocks measured 8x slower
+# — thousands of tiny grid-step iterations, each latency-bound).
+SUB_PIX = TILE_PIX
+ROWS_PER_SUB = SUB_PIX // TILE_W
+N_SUB = TILE_PIX // SUB_PIX      # 1
+SHADOW_CHUNK = 16                # prims per shadow-loop chunk (sublanes)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dot_hi(a, b):
+    return jnp.dot(
+        a, b, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binning (XLA)
+# ---------------------------------------------------------------------------
+
+def _prim_bboxes(packed):
+    """Screen-space (x0, x1, y0, y1) per triangle / sphere (ortho camera)."""
+    v0 = packed.tri_v0  # (3, Tp)
+    v1 = packed.tri_v0 + packed.tri_e1
+    v2 = packed.tri_v0 + packed.tri_e2
+    txs = jnp.stack([v0[0], v1[0], v2[0]])
+    tys = jnp.stack([v0[1], v1[1], v2[1]])
+    tri_box = (
+        jnp.min(txs, 0) - 1e-3, jnp.max(txs, 0) + 1e-3,
+        jnp.min(tys, 0) - 1e-3, jnp.max(tys, 0) + 1e-3,
+    )
+    c = packed.sph_origin  # (3, Sp)
+    r = packed.sph_radius[0] + 1e-3
+    sph_box = (c[0] - r, c[0] + r, c[1] - r, c[1] + r)
+    return tri_box, sph_box
+
+
+def _bin_prims(box, n_real, nty, ntx, k):
+    """(tiles x prims) overlap -> per-tile top-k candidate indices.
+
+    Returns idx (n_tiles, k) int32, valid (n_tiles, k) bool, overflow ()."""
+    x0, x1, y0, y1 = box
+    p = x0.shape[0]
+    tx0 = (jnp.arange(ntx, dtype=jnp.float32) * TILE_W)[None, :, None]
+    ty0 = (jnp.arange(nty, dtype=jnp.float32) * TILE_H)[:, None, None]
+    # padded prims beyond n_real never overlap (their bbox is degenerate far
+    # away for spheres / all-zero for tris, but mask explicitly anyway)
+    real = jnp.arange(p) < n_real
+    overlap = (
+        (x0[None, None, :] <= tx0 + TILE_W)
+        & (x1[None, None, :] >= tx0)
+        & (y0[None, None, :] <= ty0 + TILE_H)
+        & (y1[None, None, :] >= ty0)
+        & real[None, None, :]
+    ).reshape(nty * ntx, p)
+    counts = jnp.sum(overlap, axis=1)
+    overflow = jnp.max(counts) > k
+    # top-k by (overlap, ascending index): score = P - i for overlapping.
+    score = jnp.where(overlap, p - jnp.arange(p, dtype=jnp.int32), 0)
+    top, _ = jax.lax.top_k(score, k)          # (n_tiles, k), descending
+    valid = top > 0
+    idx = jnp.where(valid, p - top, 0)
+    return idx, valid, overflow
+
+
+def _gather_tile_tables(coef, attr, idx, valid, null_coef_col):
+    """Gather per-tile coefficient/attribute tables.
+
+    coef (C, P) -> (n_tiles, k, 16) with invalid rows set to null_coef_col;
+    attr (P, 8) -> (n_tiles, 8, k) zeroed on invalid."""
+    c = coef.shape[0]
+    g = coef.T[idx]                            # (n_tiles, k, C)
+    g = jnp.where(valid[..., None], g, null_coef_col[:c])
+    pad = 16 - c
+    if pad:
+        g = jnp.concatenate(
+            [g, jnp.zeros(g.shape[:2] + (pad,), jnp.float32)], axis=-1
+        )
+    a = attr[idx]                              # (n_tiles, k, 8)
+    a = jnp.where(valid[..., None], a, 0.0)
+    return g, jnp.swapaxes(a, 1, 2)            # coefs, (n_tiles, 8, k)
+
+
+# null coefficient columns: guarantee "never valid" in the kernel tests.
+_NULL_TRI = jnp.array(
+    [-1e9, 0, 0, -1e9, 0, 0, 0, 0, 0], jnp.float32
+)  # u0 = v0 = -1e9
+_NULL_SPH = jnp.array(
+    [-1e9, 0, 0, 1e9, 0, 0, 0, 0, 0, -1.0], jnp.float32
+)  # tca < 0 and r2 < 0 and d2 huge
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _build_tiled_kernel(
+    *,
+    ntx: int,
+    k_tri: int,
+    k_sph: int,
+    n_tri_shadow_chunks: int,
+    n_sph_shadow_chunks: int,
+    n_lights: int,
+    shading: str,
+    shadows: bool,
+):
+    TP = SUB_PIX
+
+    def col(ref, q, n):
+        """(n, 1) coefficient column from a (1, n, 16) block ref."""
+        return ref[0, :, q : q + 1]
+
+    def scalar(params_ref, i):
+        return params_ref[i]
+
+    def best_update(t, valid, attr_mat, best_t, best_attr, k):
+        """Streaming nearest-hit; prims on sublanes. attr_mat: (8, k)."""
+        sub = jax.lax.broadcasted_iota(jnp.int32, (k, TP), 0)
+        tpair = jnp.where(valid, t, MISS_T)
+        cmin = jnp.min(tpair, axis=0, keepdims=True)         # (1, TP)
+        wins = cmin < best_t                                 # (1, TP)
+        first = jnp.min(
+            jnp.where(tpair == cmin, sub, k), axis=0, keepdims=True
+        )
+        onehot = ((sub == first) & wins).astype(jnp.float32)  # (k, TP)
+        upd = _dot_hi(attr_mat, onehot)                       # (8, TP)
+        best_attr = jnp.where(wins, upd, best_attr)
+        best_t = jnp.where(wins, cmin, best_t)
+        return best_t, best_attr
+
+    def tri_affine(coef_ref, x, y, k):
+        u = col(coef_ref, 0, k) + x * col(coef_ref, 1, k) + y * col(coef_ref, 2, k)
+        v = col(coef_ref, 3, k) + x * col(coef_ref, 4, k) + y * col(coef_ref, 5, k)
+        t = col(coef_ref, 6, k) + x * col(coef_ref, 7, k) + y * col(coef_ref, 8, k)
+        valid = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        return t, valid
+
+    def sph_affine(coef_ref, x, y, x2, y2, xy, k):
+        tca = col(coef_ref, 0, k) + x * col(coef_ref, 1, k) + y * col(coef_ref, 2, k)
+        d2 = (
+            col(coef_ref, 3, k)
+            + x * col(coef_ref, 4, k)
+            + y * col(coef_ref, 5, k)
+            + x2 * col(coef_ref, 6, k)
+            + y2 * col(coef_ref, 7, k)
+            + xy * col(coef_ref, 8, k)
+        )
+        r2 = col(coef_ref, 9, k)
+        hit = (tca >= 0.0) & (d2 <= r2)
+        thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        t0 = tca - thc
+        return t0, hit & (t0 != 0.0)
+
+    # --- general-path tests for shadow rays (per-pixel directions) --------
+    def geo_col(ref, c, q, n):
+        return ref[pl.ds(c * n, n), q : q + 1]  # (n, 1) from (P, 16)
+
+    def tri_shadow(geo_ref, c, o, d):
+        n = SHADOW_CHUNK
+        ox, oy, oz = o
+        dx, dy, dz = d
+        v0x, v0y, v0z = (geo_col(geo_ref, c, q, n) for q in (0, 1, 2))
+        e1x, e1y, e1z = (geo_col(geo_ref, c, q, n) for q in (3, 4, 5))
+        e2x, e2y, e2z = (geo_col(geo_ref, c, q, n) for q in (6, 7, 8))
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        det_ok = jnp.abs(det) >= EPSILON
+        inv = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv
+        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+        valid = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+        return t, valid
+
+    def sph_shadow(geo_ref, c, o, d):
+        n = SHADOW_CHUNK
+        ox, oy, oz = o
+        dx, dy, dz = d
+        cx, cy, cz = (geo_col(geo_ref, c, q, n) for q in (0, 1, 2))
+        r = geo_col(geo_ref, c, 3, n)
+        lx, ly, lz = cx - ox, cy - oy, cz - oz
+        tca = lx * dx + ly * dy + lz * dz
+        m2 = lx * lx + ly * ly + lz * lz - tca * tca
+        r2 = r * r
+        hit = (tca >= 0.0) & (m2 <= r2)
+        t0 = tca - jnp.sqrt(jnp.maximum(r2 - m2, 0.0))
+        return t0, hit & (t0 != 0.0)
+
+    def occluded(tri_geo_ref, sph_geo_ref, o, d, t_max):
+        occ = jnp.zeros((1, TP), bool)
+        for c in range(n_tri_shadow_chunks):
+            t, valid = tri_shadow(tri_geo_ref, c, o, d)
+            occ |= jnp.any(
+                valid & (t > 1e-3) & (t < t_max), axis=0, keepdims=True
+            )
+        for c in range(n_sph_shadow_chunks):
+            t, valid = sph_shadow(sph_geo_ref, c, o, d)
+            occ |= jnp.any(
+                valid & (t > 1e-3) & (t < t_max), axis=0, keepdims=True
+            )
+        return occ
+
+    def kernel(
+        params_ref,
+        tri_coef_ref,   # (1, k_tri, 16)
+        tri_attr_ref,   # (1, 8, k_tri)
+        sph_coef_ref,   # (1, k_sph, 16)
+        sph_attr_ref,   # (1, 8, k_sph)
+        tri_geo_ref,    # (Tp, 16) full (shadows)
+        sph_geo_ref,    # (Sp, 16) full (shadows)
+        out_ref,        # (1, 8, TILE_PIX)
+    ):
+        i = pl.program_id(0)
+        ty = i // ntx
+        tx = i - ty * ntx
+        x0 = (tx * TILE_W).astype(jnp.float32)
+        y0 = (ty * TILE_H).astype(jnp.float32)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, TP), 1)
+        lx = (lane % TILE_W).astype(jnp.float32)
+        lrow = (lane // TILE_W).astype(jnp.float32)
+
+        d0x, d0y, d0z = (scalar(params_ref, _P_D0 + q) for q in range(3))
+
+        def sub_block(sb, _):
+            x = x0 + lx
+            y = y0 + (sb * ROWS_PER_SUB).astype(jnp.float32) + lrow
+            x2, y2, xy = x * x, y * y, x * y
+
+            best_t = jnp.full((1, TP), MISS_T, jnp.float32)
+            best_attr = jnp.zeros((8, TP), jnp.float32)
+            if k_tri:
+                t, valid = tri_affine(tri_coef_ref, x, y, k_tri)
+                best_t, best_attr = best_update(
+                    t, valid, tri_attr_ref[0], best_t, best_attr, k_tri
+                )
+            if k_sph:
+                t, valid = sph_affine(sph_coef_ref, x, y, x2, y2, xy, k_sph)
+                best_t, best_attr = best_update(
+                    t, valid, sph_attr_ref[0], best_t, best_attr, k_sph
+                )
+
+            hit = best_t < MISS_T
+            hitf = hit.astype(jnp.float32)
+            cr, cg, cb = best_attr[0:1], best_attr[1:2], best_attr[2:3]
+
+            if shading == "legacy":
+                scalar_t = 255.0 - best_t * (255.0 / LEGACY_FOG_MAX)
+                r = jnp.where(hit, cr * scalar_t, 0.0)
+                g = jnp.where(hit, cg * scalar_t, 0.0)
+                b = jnp.where(hit, cb * scalar_t, 0.0)
+            else:
+                is_sph = best_attr[7:8]
+                px = x + best_t * d0x      # origin (x, y, 0) + t*d
+                py = y + best_t * d0y
+                pz = best_t * d0z
+                ax, ay, az = best_attr[3:4], best_attr[4:5], best_attr[5:6]
+                rad = best_attr[6:7]
+                nsx = (px - ax) / jnp.maximum(rad, 1e-20)
+                nsy = (py - ay) / jnp.maximum(rad, 1e-20)
+                nsz = (pz - az) / jnp.maximum(rad, 1e-20)
+                flip = jnp.where(ax * d0x + ay * d0y + az * d0z > 0, -1.0, 1.0)
+                nx = jnp.where(is_sph > 0.5, nsx, ax * flip)
+                ny = jnp.where(is_sph > 0.5, nsy, ay * flip)
+                nz = jnp.where(is_sph > 0.5, nsz, az * flip)
+                ninv = jax.lax.rsqrt(
+                    jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
+                )
+                nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+                vinv = jax.lax.rsqrt(
+                    jnp.maximum(d0x * d0x + d0y * d0y + d0z * d0z, 1e-20)
+                )
+                vx, vy, vz = -d0x * vinv, -d0y * vinv, -d0z * vinv
+
+                ambient = scalar(params_ref, _P_AMBIENT)
+                spec_k = scalar(params_ref, _P_SPEC)
+                shine = scalar(params_ref, _P_SHINE)
+                diff_r = jnp.zeros((1, TP), jnp.float32)
+                diff_g = jnp.zeros((1, TP), jnp.float32)
+                diff_b = jnp.zeros((1, TP), jnp.float32)
+                spec_r = jnp.zeros((1, TP), jnp.float32)
+                spec_g = jnp.zeros((1, TP), jnp.float32)
+                spec_b = jnp.zeros((1, TP), jnp.float32)
+                for li in range(n_lights):
+                    base = _P_LIGHTS + li * _LIGHT_STRIDE
+                    lpx, lpy, lpz = (scalar(params_ref, base + q) for q in range(3))
+                    lcr, lcg, lcb = (
+                        scalar(params_ref, base + 3 + q) for q in range(3)
+                    )
+                    lint = scalar(params_ref, base + 6)
+                    tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+                    dist = jnp.sqrt(
+                        jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+                    )
+                    ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+                    ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+                    if shadows:
+                        occ = occluded(
+                            tri_geo_ref,
+                            sph_geo_ref,
+                            (px + 1e-2 * nx, py + 1e-2 * ny, pz + 1e-2 * nz),
+                            (ldx, ldy, ldz),
+                            dist,
+                        )
+                        vis = jnp.where(occ, 0.0, 1.0)
+                    else:
+                        vis = 1.0
+                    wdiff = lint * ndotl * vis
+                    diff_r += wdiff * lcr
+                    diff_g += wdiff * lcg
+                    diff_b += wdiff * lcb
+                    if shading == "phong":
+                        two_ndl = 2.0 * (nx * ldx + ny * ldy + nz * ldz)
+                        rx = two_ndl * nx - ldx
+                        ry = two_ndl * ny - ldy
+                        rz = two_ndl * nz - ldz
+                        rdotv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
+                        wspec = (
+                            spec_k
+                            * jnp.exp(
+                                shine * jnp.log(jnp.maximum(rdotv, 1e-20))
+                            )
+                            * lint
+                            * vis
+                            * (ndotl > 0.0)
+                        )
+                        spec_r += wspec * lcr
+                        spec_g += wspec * lcg
+                        spec_b += wspec * lcb
+
+                r = jnp.clip(cr * (ambient + diff_r) + spec_r, 0.0, 1.0) * 255.0
+                g = jnp.clip(cg * (ambient + diff_g) + spec_g, 0.0, 1.0) * 255.0
+                b = jnp.clip(cb * (ambient + diff_b) + spec_b, 0.0, 1.0) * 255.0
+                r = jnp.where(hit, r, 0.0)
+                g = jnp.where(hit, g, 0.0)
+                b = jnp.where(hit, b, 0.0)
+
+            res = jnp.concatenate(
+                [
+                    r, g, b,
+                    jnp.full((1, TP), 255.0, jnp.float32),
+                    best_t,
+                    hitf,
+                    jnp.zeros((2, TP), jnp.float32),
+                ],
+                axis=0,
+            )  # (8, TP)
+            off = pl.multiple_of(sb * TP, TP)
+            out_ref[0, :, pl.ds(off, TP)] = res
+            return 0
+
+        # fori_loop (not an unrolled python loop) so each sub-block reuses
+        # the same VMEM temporaries — unrolling all 16 sub-blocks blows the
+        # 16MB scoped-vmem budget with shadows on.
+        jax.lax.fori_loop(0, N_SUB, sub_block, 0)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# Wrapper
+# ---------------------------------------------------------------------------
+
+def _geo_t(packed):
+    """Transposed geometry tables for the shadow loop: (P, 16) layouts,
+    sublane-chunk padded to SHADOW_CHUNK."""
+    tp = _round_up(packed.padded_tris, SHADOW_CHUNK)
+    sp = _round_up(packed.padded_spheres, SHADOW_CHUNK)
+    tri = jnp.zeros((tp, 16), jnp.float32)
+    tri = tri.at[: packed.padded_tris, 0:3].set(packed.tri_v0.T)
+    tri = tri.at[: packed.padded_tris, 3:6].set(packed.tri_e1.T)
+    tri = tri.at[: packed.padded_tris, 6:9].set(packed.tri_e2.T)
+    sph = jnp.zeros((sp, 16), jnp.float32)
+    sph = sph.at[: packed.padded_spheres, 0:3].set(packed.sph_origin.T)
+    # padding spheres: radius 0 at origin => m2 > 0 = r2 -> miss; real pads
+    # from pack() already sit at z=+1e9.
+    sph = sph.at[: packed.padded_spheres, 3].set(packed.sph_radius[0])
+    sph = sph.at[packed.padded_spheres :, 2].set(1e9)
+    return tri, sph
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "height", "width", "shading", "shadows",
+        "k_tri", "k_sph", "as_int", "interpret",
+    ),
+)
+def _render_tiled_jit(
+    packed,
+    camera: Camera,
+    *,
+    height: int,
+    width: int,
+    shading: str,
+    shadows: bool,
+    k_tri: int = 32,
+    k_sph: int = 32,
+    as_int: bool = True,
+    interpret: bool = False,
+):
+    from opencl_ray_tracer_tpu.kernels.fwd import _render_pallas_jit
+
+    nty = _round_up(height, TILE_H) // TILE_H
+    ntx = _round_up(width, TILE_W) // TILE_W
+    n_tiles = nty * ntx
+
+    tri_coef, sph_coef = _prep_affine_coefs(packed, camera)
+    _, tri_attr, _, sph_attr = _prep_scene_arrays(packed)
+    tri_box, sph_box = _prim_bboxes(packed)
+
+    k_tri_eff = min(k_tri, _round_up(max(packed.n_tris, 1), 8)) if packed.n_tris else 0
+    k_sph_eff = (
+        min(k_sph, _round_up(max(packed.n_spheres, 1), 8)) if packed.n_spheres else 0
+    )
+
+    overflow = jnp.zeros((), bool)
+    if k_tri_eff:
+        t_idx, t_valid, t_over = _bin_prims(
+            tri_box, packed.n_tris, nty, ntx, k_tri_eff
+        )
+        tri_coef_t, tri_attr_t = _gather_tile_tables(
+            tri_coef, tri_attr, t_idx, t_valid, _NULL_TRI
+        )
+        overflow |= t_over
+    else:
+        tri_coef_t = jnp.broadcast_to(
+            jnp.concatenate([_NULL_TRI, jnp.zeros(7)]).astype(jnp.float32),
+            (n_tiles, 8, 16),
+        )
+        tri_attr_t = jnp.zeros((n_tiles, 8, 8), jnp.float32)
+        k_tri_eff = 0
+    if k_sph_eff:
+        s_idx, s_valid, s_over = _bin_prims(
+            sph_box, packed.n_spheres, nty, ntx, k_sph_eff
+        )
+        sph_coef_t, sph_attr_t = _gather_tile_tables(
+            sph_coef, sph_attr, s_idx, s_valid, _NULL_SPH
+        )
+        overflow |= s_over
+    else:
+        sph_coef_t = jnp.broadcast_to(
+            jnp.concatenate([_NULL_SPH, jnp.zeros(6)]).astype(jnp.float32),
+            (n_tiles, 8, 16),
+        )
+        sph_attr_t = jnp.zeros((n_tiles, 8, 8), jnp.float32)
+        k_sph_eff = 0
+
+    tri_geo_t, sph_geo_t = _geo_t(packed)
+    params = _camera_params(camera, packed.lights)
+
+    kernel = _build_tiled_kernel(
+        ntx=ntx,
+        k_tri=k_tri_eff,
+        k_sph=k_sph_eff,
+        n_tri_shadow_chunks=(
+            tri_geo_t.shape[0] // SHADOW_CHUNK if (shadows and packed.n_tris) else 0
+        ),
+        n_sph_shadow_chunks=(
+            sph_geo_t.shape[0] // SHADOW_CHUNK
+            if (shadows and packed.n_spheres)
+            else 0
+        ),
+        n_lights=packed.lights.position.shape[0],
+        shading=shading,
+        shadows=shadows,
+    )
+
+    def tiled_render(operands):
+        (params_, tc, ta, sc, sa, tg, sg) = operands
+        full = lambda shape: pl.BlockSpec(
+            shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+        )
+        tile3 = lambda shape: pl.BlockSpec(
+            (1,) + shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                tile3(tc.shape),
+                tile3(ta.shape),
+                tile3(sc.shape),
+                tile3(sa.shape),
+                full(tg.shape),
+                full(sg.shape),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, TILE_PIX), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=interpret,
+        )(params_, tc, ta, sc, sa, tg, sg)
+        # untangle tiles -> image planes
+        img = out.reshape(nty, ntx, 8, TILE_H, TILE_W)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            8, nty * TILE_H, ntx * TILE_W
+        )
+        return img[:, :height, :width]
+
+    def brute_render(operands):
+        del operands
+        rgba = _render_pallas_jit(
+            packed,
+            camera,
+            height=height,
+            width=width,
+            shading=shading,
+            shadows=shadows,
+            normalize_dir=False,
+            as_int=False,
+            interpret=interpret,
+        )  # (H, W, 4) float
+        # match tiled_render's planar (8, H, W) contract
+        planes = jnp.moveaxis(rgba, -1, 0)
+        extra = jnp.zeros((4, height, width), jnp.float32)
+        return jnp.concatenate([planes, extra], axis=0)
+
+    operands = (
+        params, tri_coef_t, tri_attr_t, sph_coef_t, sph_attr_t,
+        tri_geo_t, sph_geo_t,
+    )
+    img = jax.lax.cond(overflow, brute_render, tiled_render, operands)
+
+    rgba = jnp.moveaxis(img[0:4], 0, -1)  # (H, W, 4)
+    if as_int:
+        return jnp.trunc(rgba).astype(jnp.int32)
+    return rgba
+
+
+def render_tiled(
+    scene,
+    camera: Camera,
+    config: RenderConfig,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    return render_tiled_packed(scene.pack(), camera, config, interpret)
+
+
+def render_tiled_packed(
+    packed,
+    camera: Camera,
+    config: RenderConfig,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Tiled+culled render (shared-direction cameras only)."""
+    if camera.normalize:
+        raise ValueError("tiled kernel requires a shared-direction camera")
+    if interpret is None:
+        interpret = _use_interpret()
+    return _render_tiled_jit(
+        packed,
+        camera,
+        height=config.height,
+        width=config.width,
+        shading=config.shading,
+        shadows=config.shadows,
+        as_int=config.framebuffer_dtype == "int",
+        interpret=interpret,
+    )

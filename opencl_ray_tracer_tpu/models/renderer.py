@@ -37,6 +37,10 @@ def render(
     b = resolve_backend(backend if backend is not None else config.backend)
 
     if config.soft:
+        if b == Backend.PALLAS:
+            from opencl_ray_tracer_tpu.kernels.soft import render_soft_pallas
+
+            return render_soft_pallas(scene, camera, config)
         from opencl_ray_tracer_tpu.diff import render_soft
 
         return render_soft(scene, camera, config)
@@ -50,6 +54,12 @@ def render(
 
         return render_xla(scene, camera, config)
     if b == Backend.PALLAS:
+        # shared-direction cameras take the tiled+culled kernel; per-pixel
+        # direction cameras the brute megakernel.
+        if camera.shared_dir:
+            from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled
+
+            return render_tiled(scene, camera, config)
         from opencl_ray_tracer_tpu.kernels import render_pallas
 
         return render_pallas(scene, camera, config)

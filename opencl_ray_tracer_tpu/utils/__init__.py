@@ -13,7 +13,7 @@ from opencl_ray_tracer_tpu.utils.timer import (
     time_fn,
 )
 from opencl_ray_tracer_tpu.utils.image import pack_rgba, read_png, write_png
-from opencl_ray_tracer_tpu.utils import rng
+from opencl_ray_tracer_tpu.utils import mathutil, memory, platform_info, profiling, rng
 
 __all__ = [
     "get_logger",
@@ -29,5 +29,9 @@ __all__ = [
     "pack_rgba",
     "read_png",
     "write_png",
+    "mathutil",
+    "memory",
+    "platform_info",
+    "profiling",
     "rng",
 ]

@@ -80,25 +80,36 @@ def time_fn(
     fn: Callable[[], object],
     iters: int = 10,
     warmup: int = 2,
+    batches: int = 4,
 ) -> Dict[str, float]:
-    """Time a device computation properly: warm up (compile), then time
-    `iters` runs each fenced with block_until_ready. Returns stats in
-    microseconds (the reference's display unit, MainState.cpp:894-903)."""
+    """Time a device computation: warm up (compile), then `batches` batches
+    of `iters` back-to-back dispatches with ONE device fence per batch.
 
-    def run_once() -> float:
-        t0 = now_ns()
+    Per-call block_until_ready is NOT used as the primary measure: on the
+    tunneled axon TPU platform it occasionally returns before the work is
+    complete, producing impossible sub-100us frame times. Saturating the
+    queue with `iters` launches and fencing once amortizes dispatch overhead
+    and measures true device throughput (in-order per-device execution).
+    Returns stats in microseconds per call (the reference's display unit,
+    MainState.cpp:894-903)."""
+
+    out = None
+    for _ in range(max(warmup, 1)):
         out = fn()
-        jax.block_until_ready(out)
-        return (now_ns() - t0) / 1e3
+    jax.block_until_ready(out)
 
-    for _ in range(warmup):
-        run_once()
-    samples: Sequence[float] = [run_once() for _ in range(iters)]
+    samples: Sequence[float] = []
+    for _ in range(batches):
+        t0 = now_ns()
+        for _ in range(iters):
+            out = fn()
+        jax.block_until_ready(out)
+        samples.append((now_ns() - t0) / 1e3 / iters)
     return {
         "mean_us": statistics.fmean(samples),
         "median_us": statistics.median(samples),
         "min_us": min(samples),
         "max_us": max(samples),
         "stdev_us": statistics.pstdev(samples) if len(samples) > 1 else 0.0,
-        "iters": float(iters),
+        "iters": float(iters * batches),
     }
