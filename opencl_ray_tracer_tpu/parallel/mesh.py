@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from opencl_ray_tracer_tpu.camera import Camera
 from opencl_ray_tracer_tpu.config import RenderConfig
@@ -73,6 +73,14 @@ def _render_rows(scene, camera, h, w, config: RenderConfig):
             width=w,
             shading=config.shading if config.shading != "phong" else "lambert",
         )
+    if config.backend == "pallas":
+        # Fused megakernel per shard: each chip traces its own row block
+        # (the flat-pixel-tile kernel handles any local height).
+        from opencl_ray_tracer_tpu.kernels.fwd import render_pallas
+
+        return render_pallas(
+            scene, camera, config.replace(height=h, width=w)
+        )
     from opencl_ray_tracer_tpu.models.xla_backend import render_xla_jit
 
     return render_xla_jit(
@@ -115,7 +123,7 @@ def render_sharded(
         mesh=mesh,
         in_specs=(spec_repl, spec_repl),
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     def run(scene_, camera_):
         idx = jax.lax.axis_index(axis)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from opencl_ray_tracer_tpu.camera import Camera
 from opencl_ray_tracer_tpu.config import RenderConfig
@@ -85,7 +85,7 @@ def make_train_step(
         mesh=mesh,
         in_specs=(P(), P(), P(), P(axis, None, None)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded_grad(scene, camera_, opt_dummy, target_local):
         idx = jax.lax.axis_index(axis)

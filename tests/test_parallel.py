@@ -28,7 +28,7 @@ def test_mesh_has_8_devices(eight_devices):
 
 
 def test_sharded_render_matches_unsharded(scene1, eight_devices):
-    cfg = RenderConfig(width=W, height=H, shading="legacy")
+    cfg = RenderConfig(width=W, height=H, shading="legacy", backend="xla")
     cam = legacy_ortho_camera()
     full = np.asarray(render_xla(scene1, cam, cfg))
     mesh = make_mesh(8)
@@ -38,7 +38,7 @@ def test_sharded_render_matches_unsharded(scene1, eight_devices):
 
 
 def test_sharded_render_is_actually_sharded(scene1, eight_devices):
-    cfg = RenderConfig(width=W, height=H, shading="legacy")
+    cfg = RenderConfig(width=W, height=H, shading="legacy", backend="xla")
     mesh = make_mesh(8)
     out = render_sharded(scene1, legacy_ortho_camera(), cfg, mesh=mesh)
     shardings = {s.device for s in out.addressable_shards}
@@ -124,3 +124,16 @@ def test_train_step_reduces_loss(eight_devices):
         state, loss = step(state, tgt)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+
+
+def test_sharded_pallas_render_matches(scene1, eight_devices):
+    """Pallas megakernel inside shard_map on the 8-device mesh."""
+    cfg = RenderConfig(width=W, height=H, shading="legacy", backend="pallas")
+    cam = legacy_ortho_camera()
+    mesh = make_mesh(8)
+    sharded = np.asarray(render_sharded(scene1, cam, cfg, mesh=mesh))
+    from opencl_ray_tracer_tpu.ref import render_reference
+
+    oracle = np.asarray(render_reference(scene1, cam, cfg))
+    frac = np.all(sharded == oracle, axis=-1).mean()
+    assert frac > 0.995, f"only {frac:.4%} identical"
