@@ -293,12 +293,12 @@ def _build_kernel(
             ax = best_attr[:, 3:4]
             ay = best_attr[:, 4:5]
             az = best_attr[:, 5:6]
-            rad = best_attr[:, 6:7]
-            # sphere: n = (p - c) / r ; triangle: stored unit normal, flipped
-            # against the ray.
-            nsx = (px - ax) / jnp.maximum(rad, 1e-20)
-            nsy = (py - ay) / jnp.maximum(rad, 1e-20)
-            nsz = (pz - az) / jnp.maximum(rad, 1e-20)
+            irad = best_attr[:, 6:7]
+            # sphere: n = (p - c) * (1/r) ; triangle: stored unit normal,
+            # flipped against the ray.
+            nsx = (px - ax) * irad
+            nsy = (py - ay) * irad
+            nsz = (pz - az) * irad
             flip = jnp.where(ax * dx + ay * dy + az * dz > 0, -1.0, 1.0)
             ntx, nty, ntz = ax * flip, ay * flip, az * flip
             nx = jnp.where(is_sph > 0.5, nsx, ntx)
@@ -390,7 +390,10 @@ def _prep_scene_arrays(packed):
     tri geometry: (9, Tp) rows [v0(3), e1(3), e2(3)]
     tri attrs:    (Tp, 8) rows [r, g, b, nx, ny, nz, 0, 0] (unit normals)
     sph geometry: (4, Sp) rows [cx, cy, cz, rad]
-    sph attrs:    (Sp, 8) rows [r, g, b, cx, cy, cz, rad, 1]
+    sph attrs:    (Sp, 8) rows [r, g, b, cx, cy, cz, 1/rad, 1]
+    (1/rad, not rad: the kernels rebuild sphere normals as (p - c) * irad —
+    a multiply, not a divide; padded radius-0 spheres store 0 so the one-hot
+    attribute matmul never produces inf*0 NaNs.)
     """
     tri_geo = jnp.concatenate(
         [packed.tri_v0, packed.tri_e1, packed.tri_e2], axis=0
@@ -404,11 +407,13 @@ def _prep_scene_arrays(packed):
 
     sph_geo = jnp.concatenate([packed.sph_origin, packed.sph_radius], axis=0)
     sp = packed.padded_spheres
+    rad = packed.sph_radius.T
+    irad = jnp.where(rad > 0, 1.0 / jnp.where(rad > 0, rad, 1.0), 0.0)
     sph_attr = jnp.concatenate(
         [
             packed.sph_colour.T[:, :3],
             packed.sph_origin.T,
-            packed.sph_radius.T,
+            irad,
             jnp.ones((sp, 1), jnp.float32),
         ],
         axis=1,

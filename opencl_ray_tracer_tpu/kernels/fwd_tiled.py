@@ -6,32 +6,41 @@ pays 256 slots per pixel. This kernel is the acceleration structure the
 reference never had (SURVEY.md §2: "no BVH"), built the TPU way — as a
 dense two-level grid, not a pointer tree:
 
-1. BINNING (XLA, per frame, ~0.1 ms): with the legacy camera's shared
-   direction (0,0,-1), a primitive can only cover a 64x128-pixel tile if its
-   screen-space bbox overlaps the tile rect. A (tiles x prims) overlap
-   matrix -> top-K compaction gives each tile a padded candidate list; the
-   affine intersection COEFFICIENTS (fwd.py _prep_affine_coefs) are gathered
-   into per-tile tables.
+1. BINNING (XLA, scene-static, ~1.5 ms at 1080p): with the legacy camera's
+   shared direction (0,0,-1), a primitive can only cover a 64x128-pixel tile
+   if its screen-space bbox overlaps the tile rect. A (tiles x prims)
+   overlap matrix -> top-K compaction gives each tile a padded candidate
+   list + a CANDIDATE COUNT; the affine intersection COEFFICIENTS
+   (fwd.py _prep_affine_coefs) are gathered into per-tile tables.
 2. TRACE (Pallas): one grid step per tile. Layout is transposed vs fwd.py:
-   PRIMITIVES live on the SUBLANE axis (8-granular — a 16-candidate tile
-   costs 16 slots, not 128) and 512-pixel sub-blocks live on the LANE axis.
-   Attribute gather is a (8, K) @ (K, 512) MXU matmul; no transposes
-   anywhere — per-pixel state is kept as (8, TP) rows and written straight
-   to the output block.
+   PRIMITIVES live on the SUBLANE axis in 8-granular chunks and 2048-pixel
+   sub-blocks live on the LANE axis. Each candidate type is consumed by a
+   `fori_loop` whose trip count comes from the per-tile count (SMEM), so a
+   tile with 0 triangle candidates does ZERO triangle work — the ragged
+   dynamic-work trick that makes sparse scenes cheap. Attribute gather is a
+   (8, k) @ (k, 2048) MXU matmul; no transposes anywhere.
 3. OVERFLOW: if any tile has more than K candidates the whole frame falls
    back to the brute kernel via jax.lax.cond — never silently wrong.
 
-Shadows: shadow rays have per-pixel directions, so the shadow loop runs the
-general Möller–Trumbore/sphere tests — but still over sublane-chunked
-primitives (padded to 8, not 128), which is what makes phong+shadows cheap
-for small scenes.
+Shadows (the TPU-native trick): a point p is occluded by triangle T from
+point light L iff p lies inside the LIGHT FRUSTUM of T — behind T's plane
+(far side from L) and inside the three side planes through L and each edge.
+The four planes are precomputed per (light, triangle) at binning time
+(16 floats = one table row), and because hit points are p = (x + t*d0x,
+y + t*d0y, t*d0z) under the shared-direction camera, each plane test is
+AFFINE in (x, y, t): 3 FMA + compare. No Möller–Trumbore, no divides, no
+per-pixel shadow-ray setup. Sphere occlusion keeps the geometric segment
+test (its direction normalisation is shared with the shading path).
+Shadow candidates are binned per (light, tile) against the tile->light
+corridor bbox.
 
-Output is (8, n_tiles, TILE_PIX); the wrapper untangles tiles to (H, W)
+Output is (n_tiles, 8, TILE_PIX); the wrapper untangles tiles to (H, W)
 with one XLA reshape/transpose pass.
 """
 
 from __future__ import annotations
 
+import dataclasses as _dc
 import functools
 from typing import Optional
 
@@ -46,12 +55,7 @@ from opencl_ray_tracer_tpu.kernels.fwd import (
     _LIGHT_STRIDE,
     _P_AMBIENT,
     _P_D0,
-    _P_DDX,
-    _P_DDY,
-    _P_DOX,
-    _P_DOY,
     _P_LIGHTS,
-    _P_O0,
     _P_SHINE,
     _P_SPEC,
     _camera_params,
@@ -59,7 +63,7 @@ from opencl_ray_tracer_tpu.kernels.fwd import (
     _prep_scene_arrays,
     _use_interpret,
 )
-from opencl_ray_tracer_tpu.ops.intersect import EPSILON, MISS_T
+from opencl_ray_tracer_tpu.ops.intersect import MISS_T
 from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
 
 TILE_H = 64
@@ -73,16 +77,27 @@ TILE_PIX = TILE_H * TILE_W       # 8192
 SUB_PIX = 2048
 ROWS_PER_SUB = SUB_PIX // TILE_W
 N_SUB = TILE_PIX // SUB_PIX      # 4
-SHADOW_CHUNK = 16                # prims per shadow-loop chunk (sublanes)
+CHUNK = 8                        # prims per chunk (one sublane group)
+
+# Shadow epsilons: the CPU oracle offsets the shadow origin 1e-2 along the
+# normal and requires t > 1e-3 (ops/shading.py:49, fwd.py occluded_along).
+# The frustum test's equivalent is a distance margin on the (normalised)
+# occluder-plane test; side planes use exact >= 0.
+_SH_PLANE_EPS = 1e-2
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _dot_hi(a, b):
-    return jnp.dot(
-        a, b, precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
+def _dot_prim(attr_chunk, onehot):
+    """(kc, 8) attrs x (kc, TP) one-hot -> (8, TP), exact, on the MXU."""
+    return jax.lax.dot_general(
+        attr_chunk,
+        onehot,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -116,7 +131,8 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None):
     xy-bbox overlaps bbox(tile_rect ∪ light_xy) — the conservative
     shadow-candidate test.
 
-    Returns idx (n_tiles, k) int32, valid (n_tiles, k) bool, overflow ()."""
+    Returns idx (n_tiles, k) int32, valid (n_tiles, k) bool,
+    count (n_tiles,) int32 (clamped to k), overflow ()."""
     x0, x1, y0, y1 = box
     p = x0.shape[0]
     tx0 = (jnp.arange(ntx, dtype=jnp.float32) * TILE_W)[None, :, None]
@@ -139,32 +155,14 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None):
         & (y1[None, None, :] >= ty0)
         & real[None, None, :]
     ).reshape(nty * ntx, p)
-    counts = jnp.sum(overlap, axis=1)
+    counts = jnp.sum(overlap, axis=1, dtype=jnp.int32)
     overflow = jnp.max(counts) > k
     # top-k by (overlap, ascending index): score = P - i for overlapping.
     score = jnp.where(overlap, p - jnp.arange(p, dtype=jnp.int32), 0)
     top, _ = jax.lax.top_k(score, k)          # (n_tiles, k), descending
     valid = top > 0
     idx = jnp.where(valid, p - top, 0)
-    return idx, valid, overflow
-
-
-def _gather_tile_tables(coef, attr, idx, valid, null_coef_col):
-    """Gather per-tile coefficient/attribute tables.
-
-    coef (C, P) -> (n_tiles, k, 16) with invalid rows set to null_coef_col;
-    attr (P, 8) -> (n_tiles, 8, k) zeroed on invalid."""
-    c = coef.shape[0]
-    g = coef.T[idx]                            # (n_tiles, k, C)
-    g = jnp.where(valid[..., None], g, null_coef_col[:c])
-    pad = 16 - c
-    if pad:
-        g = jnp.concatenate(
-            [g, jnp.zeros(g.shape[:2] + (pad,), jnp.float32)], axis=-1
-        )
-    a = attr[idx]                              # (n_tiles, k, 8)
-    a = jnp.where(valid[..., None], a, 0.0)
-    return g, jnp.swapaxes(a, 1, 2)            # coefs, (n_tiles, 8, k)
+    return idx, valid, jnp.minimum(counts, k), overflow
 
 
 # null coefficient columns: guarantee "never valid" in the kernel tests.
@@ -174,6 +172,95 @@ _NULL_TRI = jnp.array(
 _NULL_SPH = jnp.array(
     [-1e9, 0, 0, 1e9, 0, 0, 0, 0, 0, -1.0], jnp.float32
 )  # tca < 0 and r2 < 0 and d2 huge
+
+
+def _tri_shadow_planes(packed, lpos):
+    """Light-frustum planes per triangle for point light `lpos` (3,).
+
+    Row layout (16 floats): [m0(3) c0  m1(3) c1  m2(3) c2  n(3) cp] where a
+    point p is occluded iff  mi.p + ci >= 0 for the three (normalised) side
+    planes through the light and each edge, and n.p + cp >= eps for the
+    (normalised) triangle plane oriented away from the light. Degenerate
+    triangles / light-in-plane rows are disabled via c = -1e9."""
+    v0 = packed.tri_v0.T            # (Tp, 3)
+    e1 = packed.tri_e1.T
+    e2 = packed.tri_e2.T
+    v1 = v0 + e1
+    v2 = v0 + e2
+    L = lpos[None, :]
+
+    def _norm_rows(m):
+        n = jnp.linalg.norm(m, axis=-1, keepdims=True)
+        return m / jnp.maximum(n, 1e-20), n[..., 0]
+
+    def side(vi, vj, vk):
+        m = jnp.cross(vj - vi, L - vi)
+        m, mag = _norm_rows(m)
+        s_k = jnp.sum(m * (vk - vi), -1)
+        m = m * jnp.where(s_k < 0, -1.0, 1.0)[:, None]
+        c = -jnp.sum(m * vi, -1)
+        degen = (jnp.abs(s_k) < 1e-9) | (mag < 1e-12)
+        c = jnp.where(degen, -1e9, c)
+        return m, c
+
+    m0, c0 = side(v0, v1, v2)
+    m1, c1 = side(v1, v2, v0)
+    m2, c2 = side(v2, v0, v1)
+    n = jnp.cross(e1, e2)
+    n, nmag = _norm_rows(n)
+    s_l = jnp.sum(n * (L - v0), -1)
+    n = n * jnp.where(s_l > 0, -1.0, 1.0)[:, None]
+    cp = -jnp.sum(n * v0, -1)
+    degen = (jnp.abs(s_l) < 1e-9) | (nmag < 1e-12)
+    cp = jnp.where(degen, -1e9, cp)
+    return jnp.concatenate(
+        [
+            m0, c0[:, None], m1, c1[:, None],
+            m2, c2[:, None], n, cp[:, None],
+        ],
+        axis=1,
+    )  # (Tp, 16)
+
+
+def _sph_shadow_rows(packed):
+    """Sphere occluder rows: [cx, cy, cz, r2, 0...] (padded: r2=0, far z)."""
+    sp = packed.padded_spheres
+    rows = jnp.zeros((sp, 16), jnp.float32)
+    rows = rows.at[:, 0:3].set(packed.sph_origin.T)
+    rows = rows.at[:, 3].set(packed.sph_radius[0] ** 2)
+    return rows
+
+
+# null shadow rows: tri planes all fail (c = -1e9); spheres at z=+1e9, r2=0.
+_NULL_SH_TRI = jnp.array(
+    [0, 0, 0, -1e9, 0, 0, 0, -1e9, 0, 0, 0, -1e9, 0, 0, 0, -1e9], jnp.float32
+)
+_NULL_SH_SPH = jnp.array(
+    [0, 0, 1e9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32
+)
+
+
+def _shadow_tables(rows_per_light, box, n_real, nty, ntx, k, lights_pos,
+                   null_row):
+    """Per-(light, tile) shadow-candidate tables, flattened to 3-D
+    (n_tiles, L*k, 16) — light li owns candidate rows [li*k, (li+1)*k).
+    (4-D block refs made Mosaic compiles pathologically slow.)
+
+    rows_per_light: callable li -> (P, 16) candidate rows for that light.
+    Returns (tables, counts (n_tiles, L) int32, overflow)."""
+    tabs, cnts = [], []
+    overflow = jnp.zeros((), bool)
+    for li in range(lights_pos.shape[0]):
+        idx, valid, count, over = _bin_prims(
+            box, n_real, nty, ntx, k,
+            light_xy=(lights_pos[li, 0], lights_pos[li, 1]),
+        )
+        g = rows_per_light(li)[idx]                    # (n_tiles, k, 16)
+        g = jnp.where(valid[..., None], g, null_row)
+        tabs.append(g)
+        cnts.append(count)
+        overflow |= over
+    return jnp.concatenate(tabs, axis=1), jnp.stack(cnts, axis=1), overflow
 
 
 # ---------------------------------------------------------------------------
@@ -193,118 +280,128 @@ def _build_tiled_kernel(
 ):
     TP = SUB_PIX
 
-    def col(ref, q, n):
-        """(n, 1) coefficient column from a (1, n, 16) block ref."""
-        return ref[0, :, q : q + 1]
+    def cols(ref, off, qs):
+        """(CHUNK, 1) coefficient columns at dynamic sublane offset `off`."""
+        return tuple(ref[0, pl.ds(off, CHUNK), q : q + 1] for q in qs)
 
     def scalar(params_ref, i):
         return params_ref[i]
 
-    def best_update(t, valid, attr_mat, best_t, best_attr, k):
-        """Streaming nearest-hit; prims on sublanes. attr_mat: (8, k)."""
-        sub = jax.lax.broadcasted_iota(jnp.int32, (k, TP), 0)
+    def best_update(t, valid, attr_chunk, best_t, best_attr):
+        """Streaming nearest-hit; prims on sublanes. attr_chunk: (CHUNK, 8).
+        Strict < keeps the earlier chunk's winner on ties; within a chunk
+        the lowest sublane (lowest primitive index) wins — the reference's
+        first-in-order tie break (rayTracer.cl:140-184)."""
+        sub = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TP), 0)
         tpair = jnp.where(valid, t, MISS_T)
         cmin = jnp.min(tpair, axis=0, keepdims=True)         # (1, TP)
         wins = cmin < best_t                                 # (1, TP)
         first = jnp.min(
-            jnp.where(tpair == cmin, sub, k), axis=0, keepdims=True
+            jnp.where(tpair == cmin, sub, CHUNK), axis=0, keepdims=True
         )
-        onehot = ((sub == first) & wins).astype(jnp.float32)  # (k, TP)
-        upd = _dot_hi(attr_mat, onehot)                       # (8, TP)
+        onehot = ((sub == first) & wins).astype(jnp.float32)  # (CHUNK, TP)
+        upd = _dot_prim(attr_chunk, onehot)                   # (8, TP)
         best_attr = jnp.where(wins, upd, best_attr)
         best_t = jnp.where(wins, cmin, best_t)
         return best_t, best_attr
 
-    def tri_affine(coef_ref, x, y, k):
-        u = col(coef_ref, 0, k) + x * col(coef_ref, 1, k) + y * col(coef_ref, 2, k)
-        v = col(coef_ref, 3, k) + x * col(coef_ref, 4, k) + y * col(coef_ref, 5, k)
-        t = col(coef_ref, 6, k) + x * col(coef_ref, 7, k) + y * col(coef_ref, 8, k)
+    def tri_affine(coef_ref, off, x, y):
+        u0, ux, uy, v0, vx, vy, t0, tx, ty = cols(coef_ref, off, range(9))
+        u = u0 + x * ux + y * uy
+        v = v0 + x * vx + y * vy
+        t = t0 + x * tx + y * ty
         valid = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
         return t, valid
 
-    def sph_affine(coef_ref, x, y, x2, y2, xy, k):
-        tca = col(coef_ref, 0, k) + x * col(coef_ref, 1, k) + y * col(coef_ref, 2, k)
-        d2 = (
-            col(coef_ref, 3, k)
-            + x * col(coef_ref, 4, k)
-            + y * col(coef_ref, 5, k)
-            + x2 * col(coef_ref, 6, k)
-            + y2 * col(coef_ref, 7, k)
-            + xy * col(coef_ref, 8, k)
+    def sph_affine(coef_ref, off, x, y, x2, y2, xy):
+        (tc0, tcx, tcy, d20, d2x, d2y, d2xx, d2yy, d2xy, r2) = cols(
+            coef_ref, off, range(10)
         )
-        r2 = col(coef_ref, 9, k)
+        tca = tc0 + x * tcx + y * tcy
+        d2 = d20 + x * d2x + y * d2y + x2 * d2xx + y2 * d2yy + xy * d2xy
         hit = (tca >= 0.0) & (d2 <= r2)
         thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
         t0 = tca - thc
         return t0, hit & (t0 != 0.0)
 
-    # --- general-path tests for shadow rays (per-pixel directions) --------
-    # Shadow candidates come from per-tile binned tables of shape
-    # (1, L*K, 16) (light li owns rows [li*K, (li+1)*K)); columns are read
-    # as (chunk, 1) and broadcast over the pixel lanes.
-    def geo_col(ref, li, k_per_light, c, q, n):
-        base = li * k_per_light + c * n
-        return ref[0, base : base + n, q : q + 1]
+    def trace_type(coef_ref, attr_ref, count, test, best):
+        """Dynamic chunk loop over one candidate type (ragged skip)."""
+        n_ch = (count + (CHUNK - 1)) // CHUNK
 
-    def tri_shadow(geo_ref, li, c, o, d):
-        n = SHADOW_CHUNK
-        ox, oy, oz = o
-        dx, dy, dz = d
-        v0x, v0y, v0z = (geo_col(geo_ref, li, k_sh_tri, c, q, n) for q in (0, 1, 2))
-        e1x, e1y, e1z = (geo_col(geo_ref, li, k_sh_tri, c, q, n) for q in (3, 4, 5))
-        e2x, e2y, e2z = (geo_col(geo_ref, li, k_sh_tri, c, q, n) for q in (6, 7, 8))
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        det_ok = jnp.abs(det) >= EPSILON
-        inv = 1.0 / jnp.where(det_ok, det, 1.0)
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        v = (dx * qvx + dy * qvy + dz * qvz) * inv
-        t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
-        valid = det_ok & (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-        return t, valid
+        def body(c, carry):
+            best_t, best_attr = carry
+            off = c * CHUNK
+            t, valid = test(off)
+            attr_chunk = attr_ref[0, pl.ds(off, CHUNK), :]   # (CHUNK, 8)
+            return best_update(t, valid, attr_chunk, best_t, best_attr)
 
-    def sph_shadow(geo_ref, li, c, o, d):
-        n = SHADOW_CHUNK
-        ox, oy, oz = o
-        dx, dy, dz = d
-        cx, cy, cz = (geo_col(geo_ref, li, k_sh_sph, c, q, n) for q in (0, 1, 2))
-        r = geo_col(geo_ref, li, k_sh_sph, c, 3, n)
-        lx, ly, lz = cx - ox, cy - oy, cz - oz
-        tca = lx * dx + ly * dy + lz * dz
+        return jax.lax.fori_loop(0, n_ch, body, best)
+
+    # --- shadow tests ------------------------------------------------------
+    # Triangles: light-frustum plane tests, affine in (x, y, t) because
+    # p = (x + t*d0x, y + t*d0y, t*d0z). Spheres: geometric segment test
+    # along the (already computed) unit light direction.
+    def tri_sh_chunk(ref, li, off, x, y, t, d0):
+        d0x, d0y, d0z = d0
+        occ_c = None
+        for pi in range(4):
+            mx, my, mz, cc = cols(ref, li * k_sh_tri + off, range(4 * pi, 4 * pi + 4))
+            md = mx * d0x + my * d0y + mz * d0z      # (CHUNK, 1) column math
+            s = cc + mx * x + my * y + md * t
+            eps = _SH_PLANE_EPS if pi == 3 else 0.0
+            cond = s >= eps
+            occ_c = cond if occ_c is None else (occ_c & cond)
+        return occ_c                                  # (CHUNK, TP)
+
+    def sph_sh_chunk(ref, li, off, p, ld, dist):
+        px, py, pz = p
+        ldx, ldy, ldz = ld
+        cx, cy, cz, r2 = cols(ref, li * k_sh_sph + off, range(4))
+        lx, ly, lz = cx - px, cy - py, cz - pz
+        tca = lx * ldx + ly * ldy + lz * ldz
         m2 = lx * lx + ly * ly + lz * lz - tca * tca
-        r2 = r * r
         hit = (tca >= 0.0) & (m2 <= r2)
-        t0 = tca - jnp.sqrt(jnp.maximum(r2 - m2, 0.0))
-        return t0, hit & (t0 != 0.0)
+        thc = jnp.sqrt(jnp.maximum(r2 - m2, 0.0))
+        t0 = tca - thc
+        return hit & (t0 > 1e-3) & (t0 < dist)
 
-    def occluded(tri_sh_ref, sph_sh_ref, li, o, d, t_max):
-        occ = jnp.zeros((1, TP), bool)
-        for c in range(k_sh_tri // SHADOW_CHUNK):
-            t, valid = tri_shadow(tri_sh_ref, li, c, o, d)
-            occ |= jnp.any(
-                valid & (t > 1e-3) & (t < t_max), axis=0, keepdims=True
+    def occluded(tri_sh_ref, sph_sh_ref, li, cnt_t, cnt_s, x, y, t, d0,
+                 p, ld, dist):
+        # The visibility accumulator is f32 0/1 rather than bool: i1 vector
+        # carries through dynamic-trip-count loops tickle a Mosaic layout
+        # bug (vpad mismatch in arith.ori), and the caller wants a float
+        # multiplier anyway.
+        vis = jnp.ones((1, TP), jnp.float32)
+
+        if k_sh_tri:
+            def body_t(c, vis):
+                blocked = tri_sh_chunk(tri_sh_ref, li, c * CHUNK, x, y, t, d0)
+                clear = ~jnp.any(blocked, axis=0, keepdims=True)
+                return vis * clear.astype(jnp.float32)
+
+            vis = jax.lax.fori_loop(
+                0, (cnt_t + (CHUNK - 1)) // CHUNK, body_t, vis
             )
-        for c in range(k_sh_sph // SHADOW_CHUNK):
-            t, valid = sph_shadow(sph_sh_ref, li, c, o, d)
-            occ |= jnp.any(
-                valid & (t > 1e-3) & (t < t_max), axis=0, keepdims=True
+        if k_sh_sph:
+            def body_s(c, vis):
+                blocked = sph_sh_chunk(sph_sh_ref, li, c * CHUNK, p, ld, dist)
+                clear = ~jnp.any(blocked, axis=0, keepdims=True)
+                return vis * clear.astype(jnp.float32)
+
+            vis = jax.lax.fori_loop(
+                0, (cnt_s + (CHUNK - 1)) // CHUNK, body_s, vis
             )
-        return occ
+        return vis
 
     def kernel(
-        params_ref,
+        params_ref,     # (P,) f32 SMEM
+        counts_ref,     # (n_tiles, 2 + 2L) int32 SMEM
         tri_coef_ref,   # (1, k_tri, 16)
-        tri_attr_ref,   # (1, 8, k_tri)
+        tri_attr_ref,   # (1, k_tri, 8)
         sph_coef_ref,   # (1, k_sph, 16)
-        sph_attr_ref,   # (1, 8, k_sph)
-        tri_sh_ref,     # (1, L*k_sh_tri, 16) shadow candidates (shadows)
-        sph_sh_ref,     # (1, L*k_sh_sph, 16)
+        sph_attr_ref,   # (1, k_sph, 8)
+        tri_sh_ref,     # (1, L*k_sh_tri, 16) frustum planes (shadows)
+        sph_sh_ref,     # (1, L*k_sh_sph, 16) occluder spheres
         out_ref,        # (1, 8, TILE_PIX)
     ):
         i = pl.program_id(0)
@@ -313,29 +410,37 @@ def _build_tiled_kernel(
         x0 = (tx * TILE_W).astype(jnp.float32)
         y0 = (ty * TILE_H).astype(jnp.float32)
 
+        cnt_tri = counts_ref[i, 0]
+        cnt_sph = counts_ref[i, 1]
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, TP), 1)
-        lx = (lane % TILE_W).astype(jnp.float32)
+        lx_pix = (lane % TILE_W).astype(jnp.float32)
         lrow = (lane // TILE_W).astype(jnp.float32)
 
         d0x, d0y, d0z = (scalar(params_ref, _P_D0 + q) for q in range(3))
 
         def sub_block(sb, _):
-            x = x0 + lx
+            x = x0 + lx_pix
             y = y0 + (sb * ROWS_PER_SUB).astype(jnp.float32) + lrow
             x2, y2, xy = x * x, y * y, x * y
 
-            best_t = jnp.full((1, TP), MISS_T, jnp.float32)
-            best_attr = jnp.zeros((8, TP), jnp.float32)
+            best = (
+                jnp.full((1, TP), MISS_T, jnp.float32),
+                jnp.zeros((8, TP), jnp.float32),
+            )
             if k_tri:
-                t, valid = tri_affine(tri_coef_ref, x, y, k_tri)
-                best_t, best_attr = best_update(
-                    t, valid, tri_attr_ref[0], best_t, best_attr, k_tri
+                best = trace_type(
+                    tri_coef_ref, tri_attr_ref, cnt_tri,
+                    lambda off: tri_affine(tri_coef_ref, off, x, y),
+                    best,
                 )
             if k_sph:
-                t, valid = sph_affine(sph_coef_ref, x, y, x2, y2, xy, k_sph)
-                best_t, best_attr = best_update(
-                    t, valid, sph_attr_ref[0], best_t, best_attr, k_sph
+                best = trace_type(
+                    sph_coef_ref, sph_attr_ref, cnt_sph,
+                    lambda off: sph_affine(sph_coef_ref, off, x, y, x2, y2, xy),
+                    best,
                 )
+            best_t, best_attr = best
 
             hit = best_t < MISS_T
             hitf = hit.astype(jnp.float32)
@@ -352,10 +457,10 @@ def _build_tiled_kernel(
                 py = y + best_t * d0y
                 pz = best_t * d0z
                 ax, ay, az = best_attr[3:4], best_attr[4:5], best_attr[5:6]
-                rad = best_attr[6:7]
-                nsx = (px - ax) / jnp.maximum(rad, 1e-20)
-                nsy = (py - ay) / jnp.maximum(rad, 1e-20)
-                nsz = (pz - az) / jnp.maximum(rad, 1e-20)
+                irad = best_attr[6:7]      # 1/r for spheres (0 when padded)
+                nsx = (px - ax) * irad
+                nsy = (py - ay) * irad
+                nsz = (pz - az) * irad
                 flip = jnp.where(ax * d0x + ay * d0y + az * d0z > 0, -1.0, 1.0)
                 nx = jnp.where(is_sph > 0.5, nsx, ax * flip)
                 ny = jnp.where(is_sph > 0.5, nsy, ay * flip)
@@ -364,6 +469,7 @@ def _build_tiled_kernel(
                     jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
                 )
                 nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+                # view dir is a per-frame scalar (shared camera direction)
                 vinv = jax.lax.rsqrt(
                     jnp.maximum(d0x * d0x + d0y * d0y + d0z * d0z, 1e-20)
                 )
@@ -386,21 +492,22 @@ def _build_tiled_kernel(
                     )
                     lint = scalar(params_ref, base + 6)
                     tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
-                    dist = jnp.sqrt(
-                        jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+                    tl2 = jnp.maximum(
+                        tlx * tlx + tly * tly + tlz * tlz, 1e-20
                     )
-                    ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
-                    ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+                    rinv = jax.lax.rsqrt(tl2)
+                    dist = tl2 * rinv
+                    ldx, ldy, ldz = tlx * rinv, tly * rinv, tlz * rinv
+                    ndl = nx * ldx + ny * ldy + nz * ldz
+                    ndotl = jnp.maximum(ndl, 0.0)
                     if shadows:
-                        occ = occluded(
-                            tri_sh_ref,
-                            sph_sh_ref,
-                            li,
-                            (px + 1e-2 * nx, py + 1e-2 * ny, pz + 1e-2 * nz),
-                            (ldx, ldy, ldz),
-                            dist,
+                        vis = occluded(
+                            tri_sh_ref, sph_sh_ref, li,
+                            counts_ref[i, 2 + 2 * li],
+                            counts_ref[i, 3 + 2 * li],
+                            x, y, best_t, (d0x, d0y, d0z),
+                            (px, py, pz), (ldx, ldy, ldz), dist,
                         )
-                        vis = jnp.where(occ, 0.0, 1.0)
                     else:
                         vis = 1.0
                     wdiff = lint * ndotl * vis
@@ -408,7 +515,7 @@ def _build_tiled_kernel(
                     diff_g += wdiff * lcg
                     diff_b += wdiff * lcb
                     if shading == "phong":
-                        two_ndl = 2.0 * (nx * ldx + ny * ldy + nz * ldz)
+                        two_ndl = 2.0 * ndl
                         rx = two_ndl * nx - ldx
                         ry = two_ndl * ny - ldy
                         rz = two_ndl * nz - ldz
@@ -448,7 +555,7 @@ def _build_tiled_kernel(
             return 0
 
         # fori_loop (not an unrolled python loop) so each sub-block reuses
-        # the same VMEM temporaries — unrolling all 16 sub-blocks blows the
+        # the same VMEM temporaries — unrolling all sub-blocks blows the
         # 16MB scoped-vmem budget with shadows on.
         jax.lax.fori_loop(0, N_SUB, sub_block, 0)
 
@@ -456,93 +563,8 @@ def _build_tiled_kernel(
 
 
 # ---------------------------------------------------------------------------
-# Wrapper
+# Binning products + wrapper
 # ---------------------------------------------------------------------------
-
-def _geo_flat(packed):
-    """Geometry as (P, 16) row tables for shadow-candidate gathering."""
-    tri = jnp.zeros((packed.padded_tris, 16), jnp.float32)
-    tri = tri.at[:, 0:3].set(packed.tri_v0.T)
-    tri = tri.at[:, 3:6].set(packed.tri_e1.T)
-    tri = tri.at[:, 6:9].set(packed.tri_e2.T)
-    sph = jnp.zeros((packed.padded_spheres, 16), jnp.float32)
-    sph = sph.at[:, 0:3].set(packed.sph_origin.T)
-    sph = sph.at[:, 3].set(packed.sph_radius[0])
-    return tri, sph
-
-
-# null shadow-candidate rows: zero triangles have det == 0 (miss); null
-# spheres sit at z=+1e9 with radius 0 (miss).
-_NULL_SH_SPH = jnp.array(
-    [0, 0, 1e9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32
-)
-
-
-def _shadow_tables(geo, box, n_real, nty, ntx, k, lights_pos, null_row):
-    """Per-(light, tile) shadow-candidate tables: (L, n_tiles, k, 16).
-
-    Candidates are primitives whose xy-bbox overlaps the tile->light
-    corridor bbox (conservative under the shared -z primary direction).
-    Returns (tables, overflow)."""
-    tabs = []
-    overflow = jnp.zeros((), bool)
-    for li in range(lights_pos.shape[0]):
-        idx, valid, over = _bin_prims(
-            box, n_real, nty, ntx, k,
-            light_xy=(lights_pos[li, 0], lights_pos[li, 1]),
-        )
-        g = geo[idx]                                   # (n_tiles, k, 16)
-        g = jnp.where(valid[..., None], g, null_row)
-        tabs.append(g)
-        overflow |= over
-    return jnp.stack(tabs), overflow
-
-
-
-
-# ---------------------------------------------------------------------------
-# Wrapper
-# ---------------------------------------------------------------------------
-
-def _geo_flat(packed):
-    """Geometry as (P, 16) row tables for shadow-candidate gathering."""
-    tri = jnp.zeros((packed.padded_tris, 16), jnp.float32)
-    tri = tri.at[:, 0:3].set(packed.tri_v0.T)
-    tri = tri.at[:, 3:6].set(packed.tri_e1.T)
-    tri = tri.at[:, 6:9].set(packed.tri_e2.T)
-    sph = jnp.zeros((packed.padded_spheres, 16), jnp.float32)
-    sph = sph.at[:, 0:3].set(packed.sph_origin.T)
-    sph = sph.at[:, 3].set(packed.sph_radius[0])
-    return tri, sph
-
-
-# null shadow-candidate rows: zero triangles have det == 0 (miss); null
-# spheres sit at z=+1e9 with radius 0 (miss).
-_NULL_SH_SPH = jnp.array(
-    [0, 0, 1e9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32
-)
-
-
-def _shadow_tables(geo, box, n_real, nty, ntx, k, lights_pos, null_row):
-    """Per-(light, tile) shadow-candidate tables, flattened to 3-D
-    (n_tiles, L*k, 16) — light li owns candidate rows [li*k, (li+1)*k).
-    (4-D block refs made Mosaic compiles pathologically slow.)"""
-    tabs = []
-    overflow = jnp.zeros((), bool)
-    for li in range(lights_pos.shape[0]):
-        idx, valid, over = _bin_prims(
-            box, n_real, nty, ntx, k,
-            light_xy=(lights_pos[li, 0], lights_pos[li, 1]),
-        )
-        g = geo[idx]                                   # (n_tiles, k, 16)
-        g = jnp.where(valid[..., None], g, null_row)
-        tabs.append(g)
-        overflow |= over
-    return jnp.concatenate(tabs, axis=1), overflow
-
-
-import dataclasses as _dc
-
 
 @jax.tree_util.register_dataclass
 @_dc.dataclass
@@ -559,10 +581,11 @@ class TileBins:
     t_valid: jax.Array     # (n_tiles, k_tri) bool
     s_idx: jax.Array       # (n_tiles, k_sph)
     s_valid: jax.Array
-    tri_attr_t: jax.Array  # (n_tiles, 8, k_tri)
-    sph_attr_t: jax.Array  # (n_tiles, 8, k_sph)
-    tri_sh_t: jax.Array    # (n_tiles, L*k_sh_tri, 16)
-    sph_sh_t: jax.Array    # (n_tiles, L*k_sh_sph, 16)
+    tri_attr_t: jax.Array  # (n_tiles, k_tri, 8)
+    sph_attr_t: jax.Array  # (n_tiles, k_sph, 8)
+    tri_sh_t: jax.Array    # (n_tiles, L*k_sh_tri, 16) frustum planes
+    sph_sh_t: jax.Array    # (n_tiles, L*k_sh_sph, 16) occluder rows
+    counts: jax.Array      # (n_tiles, 2 + 2L) int32
     overflow: jax.Array    # () bool
     k_tri: int = _dc.field(metadata=dict(static=True), default=0)
     k_sph: int = _dc.field(metadata=dict(static=True), default=0)
@@ -585,69 +608,85 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
     _, tri_attr, _, sph_attr = _prep_scene_arrays(packed)
     tri_box, sph_box = _prim_bboxes(packed)
 
-    k_tri = min(k, _round_up(max(packed.n_tris, 1), 8)) if packed.n_tris else 0
+    k_tri = (
+        min(k, _round_up(max(packed.n_tris, 1), CHUNK)) if packed.n_tris else 0
+    )
     k_sph = (
-        min(k, _round_up(max(packed.n_spheres, 1), 8)) if packed.n_spheres else 0
+        min(k, _round_up(max(packed.n_spheres, 1), CHUNK))
+        if packed.n_spheres else 0
     )
 
     overflow = jnp.zeros((), bool)
+    zero_cnt = jnp.zeros((n_tiles,), jnp.int32)
     if k_tri:
-        t_idx, t_valid, over = _bin_prims(tri_box, packed.n_tris, nty, ntx, k_tri)
+        t_idx, t_valid, cnt_tri, over = _bin_prims(
+            tri_box, packed.n_tris, nty, ntx, k_tri
+        )
         overflow |= over
-        a = jnp.where(t_valid[..., None], tri_attr[t_idx], 0.0)
-        tri_attr_t = jnp.swapaxes(a, 1, 2)
+        tri_attr_t = jnp.where(t_valid[..., None], tri_attr[t_idx], 0.0)
     else:
-        t_idx = jnp.zeros((n_tiles, 8), jnp.int32)
-        t_valid = jnp.zeros((n_tiles, 8), bool)
-        tri_attr_t = jnp.zeros((n_tiles, 8, 8), jnp.float32)
+        t_idx = jnp.zeros((n_tiles, CHUNK), jnp.int32)
+        t_valid = jnp.zeros((n_tiles, CHUNK), bool)
+        tri_attr_t = jnp.zeros((n_tiles, CHUNK, 8), jnp.float32)
+        cnt_tri = zero_cnt
     if k_sph:
-        s_idx, s_valid, over = _bin_prims(
+        s_idx, s_valid, cnt_sph, over = _bin_prims(
             sph_box, packed.n_spheres, nty, ntx, k_sph
         )
         overflow |= over
-        a = jnp.where(s_valid[..., None], sph_attr[s_idx], 0.0)
-        sph_attr_t = jnp.swapaxes(a, 1, 2)
+        sph_attr_t = jnp.where(s_valid[..., None], sph_attr[s_idx], 0.0)
     else:
-        s_idx = jnp.zeros((n_tiles, 8), jnp.int32)
-        s_valid = jnp.zeros((n_tiles, 8), bool)
-        sph_attr_t = jnp.zeros((n_tiles, 8, 8), jnp.float32)
+        s_idx = jnp.zeros((n_tiles, CHUNK), jnp.int32)
+        s_valid = jnp.zeros((n_tiles, CHUNK), bool)
+        sph_attr_t = jnp.zeros((n_tiles, CHUNK, 8), jnp.float32)
+        cnt_sph = zero_cnt
 
     k_sh_tri = (
-        min(64, _round_up(packed.n_tris, SHADOW_CHUNK))
+        min(64, _round_up(packed.n_tris, CHUNK))
         if (shadows and packed.n_tris) else 0
     )
     k_sh_sph = (
-        min(64, _round_up(packed.n_spheres, SHADOW_CHUNK))
+        min(64, _round_up(packed.n_spheres, CHUNK))
         if (shadows and packed.n_spheres) else 0
     )
-    if k_sh_tri or k_sh_sph:
-        tri_geo, sph_geo = _geo_flat(packed)
-        lpos = packed.lights.position
+    lpos = packed.lights.position
     if k_sh_tri:
-        tri_sh_t, over = _shadow_tables(
-            tri_geo, tri_box, packed.n_tris, nty, ntx, k_sh_tri, lpos,
-            jnp.zeros(16, jnp.float32),
+        tri_sh_t, cnt_sh_tri, over = _shadow_tables(
+            lambda li: _tri_shadow_planes(packed, lpos[li]),
+            tri_box, packed.n_tris, nty, ntx, k_sh_tri, lpos, _NULL_SH_TRI,
         )
         overflow |= over
     else:
-        tri_sh_t = jnp.zeros(
-            (n_tiles, n_lights * SHADOW_CHUNK, 16), jnp.float32
+        tri_sh_t = jnp.broadcast_to(
+            _NULL_SH_TRI, (n_tiles, n_lights * CHUNK, 16)
         )
+        cnt_sh_tri = jnp.zeros((n_tiles, n_lights), jnp.int32)
     if k_sh_sph:
-        sph_sh_t, over = _shadow_tables(
-            sph_geo, sph_box, packed.n_spheres, nty, ntx, k_sh_sph, lpos,
-            _NULL_SH_SPH,
+        sph_rows = _sph_shadow_rows(packed)
+        sph_sh_t, cnt_sh_sph, over = _shadow_tables(
+            lambda li: sph_rows,
+            sph_box, packed.n_spheres, nty, ntx, k_sh_sph, lpos, _NULL_SH_SPH,
         )
         overflow |= over
     else:
         sph_sh_t = jnp.broadcast_to(
-            _NULL_SH_SPH, (n_tiles, n_lights * SHADOW_CHUNK, 16)
+            _NULL_SH_SPH, (n_tiles, n_lights * CHUNK, 16)
         )
+        cnt_sh_sph = jnp.zeros((n_tiles, n_lights), jnp.int32)
+
+    # counts layout: [tri, sph, (sh_tri, sh_sph) per light]
+    sh_cols = jnp.stack([cnt_sh_tri, cnt_sh_sph], axis=-1).reshape(
+        n_tiles, 2 * n_lights
+    )
+    counts = jnp.concatenate(
+        [cnt_tri[:, None], cnt_sph[:, None], sh_cols], axis=1
+    ).astype(jnp.int32)
 
     return TileBins(
         t_idx=t_idx, t_valid=t_valid, s_idx=s_idx, s_valid=s_valid,
         tri_attr_t=tri_attr_t, sph_attr_t=sph_attr_t,
-        tri_sh_t=tri_sh_t, sph_sh_t=sph_sh_t, overflow=overflow,
+        tri_sh_t=tri_sh_t, sph_sh_t=sph_sh_t, counts=counts,
+        overflow=overflow,
         k_tri=k_tri, k_sph=k_sph, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
         nty=nty, ntx=ntx,
     )
@@ -694,14 +733,14 @@ def _render_tiled_jit(
     else:
         tri_coef_t = jnp.broadcast_to(
             jnp.concatenate([_NULL_TRI, jnp.zeros(7)]).astype(jnp.float32),
-            (n_tiles, 8, 16),
+            (n_tiles, CHUNK, 16),
         )
     if bins.k_sph:
         sph_coef_t = _gather_coefs(sph_coef, bins.s_idx, bins.s_valid, _NULL_SPH)
     else:
         sph_coef_t = jnp.broadcast_to(
             jnp.concatenate([_NULL_SPH, jnp.zeros(6)]).astype(jnp.float32),
-            (n_tiles, 8, 16),
+            (n_tiles, CHUNK, 16),
         )
 
     params = _camera_params(camera, packed.lights)
@@ -719,7 +758,7 @@ def _render_tiled_jit(
     )
 
     def tiled_render(operands):
-        (params_, tc, ta, sc, sa, tsh, ssh) = operands
+        (params_, counts, tc, ta, sc, sa, tsh, ssh) = operands
         tile3 = lambda shape: pl.BlockSpec(
             (1,) + shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
@@ -728,6 +767,7 @@ def _render_tiled_jit(
             out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
             grid=(n_tiles,),
             in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 tile3(tc.shape),
                 tile3(ta.shape),
@@ -740,7 +780,7 @@ def _render_tiled_jit(
                 (1, 8, TILE_PIX), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             interpret=interpret,
-        )(params_, tc, ta, sc, sa, tsh, ssh)
+        )(params_, counts, tc, ta, sc, sa, tsh, ssh)
         # untangle tiles -> image planes
         img = out.reshape(nty, ntx, 8, TILE_H, TILE_W)
         img = img.transpose(2, 0, 3, 1, 4).reshape(
@@ -767,8 +807,8 @@ def _render_tiled_jit(
         return jnp.concatenate([planes, extra], axis=0)
 
     operands = (
-        params, tri_coef_t, bins.tri_attr_t, sph_coef_t, bins.sph_attr_t,
-        bins.tri_sh_t, bins.sph_sh_t,
+        params, bins.counts, tri_coef_t, bins.tri_attr_t, sph_coef_t,
+        bins.sph_attr_t, bins.tri_sh_t, bins.sph_sh_t,
     )
     img = jax.lax.cond(bins.overflow, brute_render, tiled_render, operands)
 
