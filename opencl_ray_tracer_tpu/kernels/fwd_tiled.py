@@ -34,8 +34,11 @@ test (its direction normalisation is shared with the shading path).
 Shadow candidates are binned per (light, tile) against the tile->light
 corridor bbox.
 
-Output is (n_tiles, 8, TILE_PIX); the wrapper untangles tiles to (H, W)
-with one XLA reshape/transpose pass.
+Shading runs SUBLANE-FOLDED: per-pixel winner state is reshuffled from
+(1, N)-row layout (1/8 VPU utilization) into (8, N/8) so lighting math uses
+the full vector unit, and the folded channel rows are stored directly to a
+channel-major output layout — the wrapper's single XLA reshape/transpose
+untangles (tile, channel, sub-block, fold-row) back to (H, W) planes.
 """
 
 from __future__ import annotations
@@ -279,6 +282,26 @@ def _build_tiled_kernel(
     shadows: bool,
 ):
     TP = SUB_PIX
+    FT = SUB_PIX // 8  # folded lane width: (1, TP) <-> (8, FT)
+
+    def fold(a):
+        """(1, TP) -> (8, FT): row s holds pixels [s*FT, (s+1)*FT).
+
+        (1, N) vectors occupy only sublane 0 of each vreg (1/8 VPU
+        utilization); the shading phase folds its per-pixel state into all
+        8 sublanes so every elementwise op runs at full width. Flattening
+        (8, FT) row-major gives back the original pixel order, so indices
+        line up with iota-derived coordinates."""
+        return jnp.concatenate(
+            [a[:, s * FT : (s + 1) * FT] for s in range(8)], axis=0
+        )
+
+    # There is deliberately NO unfold: the kernel writes folded (8, FT)
+    # channel rows straight to a channel-major output layout and the
+    # wrapper's XLA untangle pass absorbs the fold order. (Unfolding
+    # in-kernel needs a lane<->sublane relayout that Mosaic either rejects
+    # — "offset mismatch on non-concat dimension" — or compiles
+    # pathologically slowly as a reshape.)
 
     def cols(ref, off, qs):
         """(CHUNK, 1) coefficient columns at dynamic sublane offset `off`."""
@@ -402,7 +425,7 @@ def _build_tiled_kernel(
         sph_attr_ref,   # (1, k_sph, 8)
         tri_sh_ref,     # (1, L*k_sh_tri, 16) frustum planes (shadows)
         sph_sh_ref,     # (1, L*k_sh_sph, 16) occluder spheres
-        out_ref,        # (1, 8, TILE_PIX)
+        out_ref,        # (1, 8ch * N_SUB * 8, FT) channel-major folded rows
     ):
         i = pl.program_id(0)
         ty = i // ntx
@@ -442,29 +465,81 @@ def _build_tiled_kernel(
                 )
             best_t, best_attr = best
 
-            hit = best_t < MISS_T
-            hitf = hit.astype(jnp.float32)
-            cr, cg, cb = best_attr[0:1], best_attr[1:2], best_attr[2:3]
+            # Winner state folds to (8, FT) so all shading below runs at
+            # full VPU width; pixel coords regenerate from iota.
+            t8 = fold(best_t)
+            hit8 = t8 < MISS_T
+            cr8 = fold(best_attr[0:1])
+            cg8 = fold(best_attr[1:2])
+            cb8 = fold(best_attr[2:3])
 
             if shading == "legacy":
-                scalar_t = 255.0 - best_t * (255.0 / LEGACY_FOG_MAX)
-                r = jnp.where(hit, cr * scalar_t, 0.0)
-                g = jnp.where(hit, cg * scalar_t, 0.0)
-                b = jnp.where(hit, cb * scalar_t, 0.0)
+                scalar_t = 255.0 - t8 * (255.0 / LEGACY_FOG_MAX)
+                r8 = jnp.where(hit8, cr8 * scalar_t, 0.0)
+                g8 = jnp.where(hit8, cg8 * scalar_t, 0.0)
+                b8 = jnp.where(hit8, cb8 * scalar_t, 0.0)
             else:
-                is_sph = best_attr[7:8]
-                px = x + best_t * d0x      # origin (x, y, 0) + t*d
-                py = y + best_t * d0y
-                pz = best_t * d0z
-                ax, ay, az = best_attr[3:4], best_attr[4:5], best_attr[5:6]
-                irad = best_attr[6:7]      # 1/r for spheres (0 when padded)
-                nsx = (px - ax) * irad
-                nsy = (py - ay) * irad
-                nsz = (pz - az) * irad
-                flip = jnp.where(ax * d0x + ay * d0y + az * d0z > 0, -1.0, 1.0)
-                nx = jnp.where(is_sph > 0.5, nsx, ax * flip)
-                ny = jnp.where(is_sph > 0.5, nsy, ay * flip)
-                nz = jnp.where(is_sph > 0.5, nsz, az * flip)
+                # ---- shadow phase: (1, TP) pixel rows vs sublane-chunked
+                # occluder candidates (the layouts the tests want).
+                vis_list = []
+                if shadows:
+                    px = x + best_t * d0x      # origin (x, y, 0) + t*d
+                    py = y + best_t * d0y
+                    pz = best_t * d0z
+                    for li in range(n_lights):
+                        base = _P_LIGHTS + li * _LIGHT_STRIDE
+                        lpx, lpy, lpz = (
+                            scalar(params_ref, base + q) for q in range(3)
+                        )
+                        tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+                        tl2 = jnp.maximum(
+                            tlx * tlx + tly * tly + tlz * tlz, 1e-20
+                        )
+                        rinv = jax.lax.rsqrt(tl2)
+                        dist = tl2 * rinv
+                        ld = (tlx * rinv, tly * rinv, tlz * rinv)
+                        vis_list.append(occluded(
+                            tri_sh_ref, sph_sh_ref, li,
+                            counts_ref[i, 2 + 2 * li],
+                            counts_ref[i, 3 + 2 * li],
+                            x, y, best_t, (d0x, d0y, d0z),
+                            (px, py, pz), ld, dist,
+                        ))
+
+                # ---- shading phase, FOLDED to (8, FT) for full VPU width.
+                # Pixel coords regenerate from iota (no relayout); only the
+                # winner state + visibility masks fold. All formulas are
+                # bit-identical to the unfolded math, so oracle parity is
+                # unaffected.
+                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, FT), 1)
+                sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, FT), 0)
+                x8 = x0 + (lane8 % TILE_W).astype(jnp.float32)
+                row8 = (FT // TILE_W) * sub8 + lane8 // TILE_W
+                y8 = (
+                    y0
+                    + (sb * ROWS_PER_SUB).astype(jnp.float32)
+                    + row8.astype(jnp.float32)
+                )
+                ax8, ay8, az8 = (
+                    fold(best_attr[3:4]), fold(best_attr[4:5]),
+                    fold(best_attr[5:6]),
+                )
+                irad8 = fold(best_attr[6:7])  # 1/r (0 when padded)
+                is_sph8 = fold(best_attr[7:8])
+                vis8 = [fold(v) for v in vis_list]
+
+                px8 = x8 + t8 * d0x
+                py8 = y8 + t8 * d0y
+                pz8 = t8 * d0z
+                nsx = (px8 - ax8) * irad8
+                nsy = (py8 - ay8) * irad8
+                nsz = (pz8 - az8) * irad8
+                flip = jnp.where(
+                    ax8 * d0x + ay8 * d0y + az8 * d0z > 0, -1.0, 1.0
+                )
+                nx = jnp.where(is_sph8 > 0.5, nsx, ax8 * flip)
+                ny = jnp.where(is_sph8 > 0.5, nsy, ay8 * flip)
+                nz = jnp.where(is_sph8 > 0.5, nsz, az8 * flip)
                 ninv = jax.lax.rsqrt(
                     jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
                 )
@@ -478,12 +553,12 @@ def _build_tiled_kernel(
                 ambient = scalar(params_ref, _P_AMBIENT)
                 spec_k = scalar(params_ref, _P_SPEC)
                 shine = scalar(params_ref, _P_SHINE)
-                diff_r = jnp.zeros((1, TP), jnp.float32)
-                diff_g = jnp.zeros((1, TP), jnp.float32)
-                diff_b = jnp.zeros((1, TP), jnp.float32)
-                spec_r = jnp.zeros((1, TP), jnp.float32)
-                spec_g = jnp.zeros((1, TP), jnp.float32)
-                spec_b = jnp.zeros((1, TP), jnp.float32)
+                diff_r = jnp.zeros((8, FT), jnp.float32)
+                diff_g = jnp.zeros((8, FT), jnp.float32)
+                diff_b = jnp.zeros((8, FT), jnp.float32)
+                spec_r = jnp.zeros((8, FT), jnp.float32)
+                spec_g = jnp.zeros((8, FT), jnp.float32)
+                spec_b = jnp.zeros((8, FT), jnp.float32)
                 for li in range(n_lights):
                     base = _P_LIGHTS + li * _LIGHT_STRIDE
                     lpx, lpy, lpz = (scalar(params_ref, base + q) for q in range(3))
@@ -491,25 +566,15 @@ def _build_tiled_kernel(
                         scalar(params_ref, base + 3 + q) for q in range(3)
                     )
                     lint = scalar(params_ref, base + 6)
-                    tlx, tly, tlz = lpx - px, lpy - py, lpz - pz
+                    tlx, tly, tlz = lpx - px8, lpy - py8, lpz - pz8
                     tl2 = jnp.maximum(
                         tlx * tlx + tly * tly + tlz * tlz, 1e-20
                     )
                     rinv = jax.lax.rsqrt(tl2)
-                    dist = tl2 * rinv
                     ldx, ldy, ldz = tlx * rinv, tly * rinv, tlz * rinv
                     ndl = nx * ldx + ny * ldy + nz * ldz
                     ndotl = jnp.maximum(ndl, 0.0)
-                    if shadows:
-                        vis = occluded(
-                            tri_sh_ref, sph_sh_ref, li,
-                            counts_ref[i, 2 + 2 * li],
-                            counts_ref[i, 3 + 2 * li],
-                            x, y, best_t, (d0x, d0y, d0z),
-                            (px, py, pz), (ldx, ldy, ldz), dist,
-                        )
-                    else:
-                        vis = 1.0
+                    vis = vis8[li] if shadows else 1.0
                     wdiff = lint * ndotl * vis
                     diff_r += wdiff * lcr
                     diff_g += wdiff * lcg
@@ -533,25 +598,27 @@ def _build_tiled_kernel(
                         spec_g += wspec * lcg
                         spec_b += wspec * lcb
 
-                r = jnp.clip(cr * (ambient + diff_r) + spec_r, 0.0, 1.0) * 255.0
-                g = jnp.clip(cg * (ambient + diff_g) + spec_g, 0.0, 1.0) * 255.0
-                b = jnp.clip(cb * (ambient + diff_b) + spec_b, 0.0, 1.0) * 255.0
-                r = jnp.where(hit, r, 0.0)
-                g = jnp.where(hit, g, 0.0)
-                b = jnp.where(hit, b, 0.0)
+                r8 = jnp.clip(cr8 * (ambient + diff_r) + spec_r, 0.0, 1.0) * 255.0
+                g8 = jnp.clip(cg8 * (ambient + diff_g) + spec_g, 0.0, 1.0) * 255.0
+                b8 = jnp.clip(cb8 * (ambient + diff_b) + spec_b, 0.0, 1.0) * 255.0
+                r8 = jnp.where(hit8, r8, 0.0)
+                g8 = jnp.where(hit8, g8, 0.0)
+                b8 = jnp.where(hit8, b8, 0.0)
 
-            res = jnp.concatenate(
-                [
-                    r, g, b,
-                    jnp.full((1, TP), 255.0, jnp.float32),
-                    best_t,
-                    hitf,
-                    jnp.zeros((2, TP), jnp.float32),
-                ],
-                axis=0,
-            )  # (8, TP)
-            off = pl.multiple_of(sb * TP, TP)
-            out_ref[0, :, pl.ds(off, TP)] = res
+            # Channel-major folded stores: channel c of sub-block sb owns
+            # output rows [c*N_SUB*8 + sb*8, +8). All 8-sublane-aligned, no
+            # relayout; the wrapper's untangle pass restores image order.
+            zeros8 = jnp.zeros((8, FT), jnp.float32)
+            channels = (
+                r8, g8, b8,
+                jnp.full((8, FT), 255.0, jnp.float32),
+                t8,
+                hit8.astype(jnp.float32),
+                zeros8, zeros8,
+            )
+            base_row = pl.multiple_of(sb * 8, 8)
+            for c, val8 in enumerate(channels):
+                out_ref[0, pl.ds(c * (N_SUB * 8) + base_row, 8), :] = val8
             return 0
 
         # fori_loop (not an unrolled python loop) so each sub-block reuses
@@ -762,9 +829,14 @@ def _render_tiled_jit(
         tile3 = lambda shape: pl.BlockSpec(
             (1,) + shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
+        # Output rows are channel-major folded: row c*N_SUB*8 + sb*8 + s of
+        # a tile holds channel c pixels [sb*SUB_PIX + s*FT, +FT).
+        ft = SUB_PIX // 8
         out = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct(
+                (n_tiles, 8 * N_SUB * 8, ft), jnp.float32
+            ),
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -777,13 +849,14 @@ def _render_tiled_jit(
                 tile3(ssh.shape),
             ],
             out_specs=pl.BlockSpec(
-                (1, 8, TILE_PIX), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 8 * N_SUB * 8, ft), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             interpret=interpret,
         )(params_, counts, tc, ta, sc, sa, tsh, ssh)
-        # untangle tiles -> image planes
-        img = out.reshape(nty, ntx, 8, TILE_H, TILE_W)
-        img = img.transpose(2, 0, 3, 1, 4).reshape(
+        # untangle (tile, channel, sub-block, fold-sublane, lane) -> planes
+        img = out.reshape(nty, ntx, 8, N_SUB, 8, ft // TILE_W, TILE_W)
+        img = img.transpose(2, 0, 3, 4, 5, 1, 6).reshape(
             8, nty * TILE_H, ntx * TILE_W
         )
         return img[:, :height, :width]
