@@ -17,9 +17,16 @@ the BASELINE.json differentiable contract real:
   d(pixel)/d(center, radius, vertices, colour, light) all exist and are
   smooth.
 
-Pure jnp; differentiable end-to-end with jax.grad. Row-chunked with lax.map
-to bound the (pixels x prims) intermediates. The Pallas fwd+bwd fusion of
-this math lands in kernels/ (same algorithm, streaming softmax).
+Pure jnp; differentiable end-to-end with jax.grad. LAYOUT MATTERS: all
+internals are PLANAR SoA — (pixels, prims) planes with the xyz components
+unrolled into separate arrays — because (..., N, 3)-shaped math puts the
+3-vector on the 128-wide TPU lane axis (3/128 utilization) and makes both
+the forward and the autodiff backward ~50x slower. This is the same layout
+the Pallas kernels use; the formulas are identical to theirs.
+
+Row-chunked with lax.map + jax.checkpoint to bound the (pixels x prims)
+intermediates and autodiff residuals. The Pallas fwd fusion of this math
+lives in kernels/soft.py (same algorithm, streaming softmax).
 """
 
 from __future__ import annotations
@@ -37,50 +44,73 @@ from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
 BG_DEPTH = 1000.0  # background pseudo-depth for the softmin aggregation
 
 
-def _sphere_soft(o, d, centers, radii, tau_e):
-    """Per-(pixel, sphere) soft coverage + depth.
+def _sphere_soft_planar(o, d, scene, tau_e):
+    """(P, S) soft depth + coverage + unit-ish normals for spheres.
 
-    Returns (t, cov): (..., S) each. t is the hard geometric entry distance
-    (clamped forms where undefined), cov in [0, 1].
+    o, d: 3-tuples of (P, 1) pixel columns. Returns (t, cov, n) with n a
+    3-tuple of (P, S) planes.
     """
-    o_ = o[..., None, :]
-    d_ = jnp.broadcast_to(d, o.shape[:-1] + (3,))[..., None, :]
-    L = centers - o_
-    tca = jnp.sum(L * d_, axis=-1)
-    d2 = jnp.sum(L * L, axis=-1) - tca * tca
-    r2 = radii * radii
+    ox, oy, oz = o
+    dx, dy, dz = d
+    c = scene.sphere_origin  # (S, 3)
+    cx, cy, cz = c[:, 0][None, :], c[:, 1][None, :], c[:, 2][None, :]
+    r = scene.sphere_radius[None, :]
+    lx, ly, lz = cx - ox, cy - oy, cz - oz
+    tca = lx * dx + ly * dy + lz * dz
+    d2 = lx * lx + ly * ly + lz * lz - tca * tca
+    r2 = r * r
     # silhouette margin, normalized by radius so tau_e is in world units
-    margin = (r2 - d2) / jnp.maximum(2.0 * radii, 1e-6)
-    cov = jax.nn.sigmoid(margin / tau_e) * jax.nn.sigmoid(tca / jnp.maximum(tau_e, 1e-6))
+    margin = (r2 - d2) / jnp.maximum(2.0 * r, 1e-6)
+    cov = jax.nn.sigmoid(margin / tau_e) * jax.nn.sigmoid(
+        tca / jnp.maximum(tau_e, 1e-6)
+    )
     # Depth: t = tca - sqrt(r^2 - d^2). The sqrt has an unbounded derivative
     # at the silhouette (and a hard clamp would zero it — autodiff and finite
     # differences then disagree wildly at edge pixels). Replace the clamp
     # with a tau-scaled softplus floor: exact in the interior
     # (q >> beta => softplus ~ identity), smooth and bounded at the edge.
     q = r2 - d2
-    beta = jnp.maximum(tau_e, 1e-3) * jnp.maximum(2.0 * radii, 1e-6)
+    beta = jnp.maximum(tau_e, 1e-3) * jnp.maximum(2.0 * r, 1e-6)
     thc = jnp.sqrt(beta * jax.nn.softplus(q / beta) + 1e-12)
     t = tca - thc
-    return t, cov
+    inv_r = 1.0 / jnp.maximum(r, 1e-20)
+    nx = (ox + t * dx - cx) * inv_r
+    ny = (oy + t * dy - cy) * inv_r
+    nz = (oz + t * dz - cz) * inv_r
+    return t, cov, (nx, ny, nz)
 
 
-def _tri_soft(o, d, v0, e1, e2, tau_e):
-    """Per-(pixel, triangle) soft coverage + depth via smooth barycentrics."""
-    o_ = o[..., None, :]
-    d_ = jnp.broadcast_to(d, o.shape[:-1] + (3,))[..., None, :]
-    pvec = jnp.cross(d_, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
+def _tri_soft_planar(o, d, scene, tau_e):
+    """(P, T) soft depth + coverage + ray-facing normals for triangles."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    v0 = scene.tri_verts[:, 0, :]                      # (T, 3)
+    e1 = scene.tri_verts[:, 1, :] - v0
+    e2 = scene.tri_verts[:, 2, :] - v0
+    v0x, v0y, v0z = (v0[:, q][None, :] for q in range(3))
+    e1x, e1y, e1z = (e1[:, q][None, :] for q in range(3))
+    e2x, e2y, e2z = (e2[:, q][None, :] for q in range(3))
+
+    # pvec = d x e2 (per pixel-prim, unrolled)
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
     det_ok = jnp.abs(det) >= EPSILON
     inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-    tvec = o_ - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d_ * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    # qvec = tvec x e1
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+
     # Edge lengths give the world-per-barycentric scale so tau_e stays in
     # world units across differently sized triangles.
-    s1 = jnp.linalg.norm(e1, axis=-1)
-    s2 = jnp.linalg.norm(e2, axis=-1)
+    s1 = jnp.sqrt(jnp.maximum(e1x * e1x + e1y * e1y + e1z * e1z, 0.0))
+    s2 = jnp.sqrt(jnp.maximum(e2x * e2x + e2y * e2y + e2z * e2z, 0.0))
     tau_u = tau_e / jnp.maximum(s1, 1e-6)
     tau_v = tau_e / jnp.maximum(s2, 1e-6)
     tau_w = tau_e / jnp.maximum(0.5 * (s1 + s2), 1e-6)
@@ -90,13 +120,66 @@ def _tri_soft(o, d, v0, e1, e2, tau_e):
         * jax.nn.sigmoid((1.0 - u - v) / tau_w)
     )
     cov = jnp.where(det_ok, cov, 0.0)
-    return t, cov
+
+    # geometric normal, flipped to face the ray per pixel
+    gnx = e1y * e2z - e1z * e2y
+    gny = e1z * e2x - e1x * e2z
+    gnz = e1x * e2y - e1y * e2x
+    gmag = jnp.sqrt(jnp.maximum(gnx * gnx + gny * gny + gnz * gnz, 1e-40))
+    gnx, gny, gnz = gnx / gmag, gny / gmag, gnz / gmag
+    ndotd = gnx * dx + gny * dy + gnz * dz
+    flip = jnp.where(ndotd > 0, -1.0, 1.0)
+    return t, cov, (gnx * flip, gny * flip, gnz * flip)
 
 
-def _soft_aggregate(ts, covs, colours, tau_d, bg_colour):
+def _shade_planar(scene, o, d, t, n, albedo, shading):
+    """Per-(pixel, prim) shaded RGB planes in the 0..255 domain.
+
+    t: (P, N); n: 3-tuple of (P, N) or (1, N); albedo: (N, 4).
+    Returns a 3-tuple of (P, N) planes.
+    """
+    ar = albedo[:, 0][None, :]
+    ag = albedo[:, 1][None, :]
+    ab = albedo[:, 2][None, :]
+    if shading == "legacy":
+        s = 255.0 - (t / LEGACY_FOG_MAX) * 255.0
+        return s * ar, s * ag, s * ab
+    if shading == "lambert":
+        ox, oy, oz = o
+        dx, dy, dz = d
+        nx, ny, nz = n
+        lights = scene.lights
+        px = ox + t * dx
+        py = oy + t * dy
+        pz = oz + t * dz
+        diff_r = diff_g = diff_b = 0.0
+        for li in range(lights.position.shape[0]):
+            lp = lights.position[li]
+            tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+            tl2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-40)
+            rinv = jax.lax.rsqrt(tl2)
+            ndotl = jnp.maximum((nx * tlx + ny * tly + nz * tlz) * rinv, 0.0)
+            w = lights.intensity[li] * ndotl
+            lc = lights.colour[li]
+            diff_r = diff_r + w * lc[0]
+            diff_g = diff_g + w * lc[1]
+            diff_b = diff_b + w * lc[2]
+        amb = lights.ambient
+        # NOTE: clipping happens post-aggregation in trace_soft (linear
+        # blending of unclipped radiance), matching the Pallas soft kernel's
+        # factored accumulation.
+        return (
+            ar * (amb + diff_r) * 255.0,
+            ag * (amb + diff_g) * 255.0,
+            ab * (amb + diff_b) * 255.0,
+        )
+    raise ValueError(f"soft shading mode {shading!r} not supported (legacy/lambert)")
+
+
+def _soft_aggregate_planar(ts, covs, shade_rgb, tau_d, bg_rgb):
     """Softmin-over-depth aggregation with a coverage-composited background.
 
-    ts, covs: (..., N); colours: (..., N, C) or (N, C); returns (..., C).
+    ts, covs: (P, N); shade_rgb: 3-tuple of (P, N); returns 3-tuple (P, 1).
 
     Two decoupled soft decisions (this matters: folding coverage into the
     depth logits as log(cov) lets a zero-coverage primitive outscore the
@@ -105,111 +188,87 @@ def _soft_aggregate(ts, covs, colours, tau_d, bg_colour):
          weighted by coverage (log-space);
       2. WHETHER any primitive covers the pixel: w_bg = prod_i (1 - cov_i),
          the smooth probability that no primitive covers it.
+
+    Ranking logits apply a hard VALIDITY cut: primitives with effectively
+    zero coverage (cov <= 1e-12 — invisible at this pixel, incl. any padding
+    lanes in the Pallas twin) get logit -1e30 and exactly zero weight, so
+    they can never outrank a real candidate via the depth term. Depth is
+    deliberately UNclamped for valid candidates: a primitive that genuinely
+    covers the pixel with negative t wins the softmin, exactly like the
+    reference's negative-t-wins quirk in hard mode (rayTracer.cl:74-77,162).
+    If every lane is invalid, the softmax goes uniform over junk — harmless,
+    because (1 - w_bg) ~ sum(cov) ~ 0 suppresses the whole foreground term.
     """
-    # Ranking logit with a hard VALIDITY cut: primitives with effectively
-    # zero coverage (cov <= 1e-12 — invisible at this pixel, incl. any
-    # padding lanes in the Pallas twin) get logit -1e30 and exactly zero
-    # weight, so they can never outrank a real candidate via the depth term.
-    # Depth is deliberately UNclamped for valid candidates: a primitive that
-    # genuinely covers the pixel with negative t wins the softmin, exactly
-    # like the reference's negative-t-wins quirk in hard mode
-    # (rayTracer.cl:74-77, 162). If every lane is invalid, the softmax goes
-    # uniform over junk — harmless, because (1 - w_bg) ~ sum(cov) ~ 0
-    # suppresses the whole foreground term.
     valid = covs > 1e-12
     logit = jnp.where(
         valid, -ts / tau_d + jnp.log(jnp.clip(covs, 1e-12, 1.0)), -1e30
     )
-    w_prim = jax.nn.softmax(logit, axis=-1)                    # (..., N)
+    w = jax.nn.softmax(logit, axis=-1)                           # (P, N)
     w_bg = jnp.exp(
-        jnp.sum(jnp.log1p(-jnp.clip(covs, 0.0, 1.0 - 1e-6)), axis=-1, keepdims=True)
-    )                                                          # (..., 1)
-    colours = jnp.broadcast_to(colours, ts.shape + (colours.shape[-1],))
-    fg = jnp.sum(w_prim[..., None] * colours, axis=-2)
-    return w_bg * bg_colour + (1.0 - w_bg) * fg
+        jnp.sum(
+            jnp.log1p(-jnp.clip(covs, 0.0, 1.0 - 1e-6)), axis=-1, keepdims=True
+        )
+    )                                                            # (P, 1)
+    out = []
+    for c in range(3):
+        fg = jnp.sum(w * shade_rgb[c], axis=-1, keepdims=True)
+        out.append(w_bg * bg_rgb[c] + (1.0 - w_bg) * fg)
+    return out
 
 
-def trace_soft(scene, o, d, *, shading: str, tau_d: float, tau_e: float):
-    """Soft-trace arbitrary ray bundles -> float RGBA (0..255 domain)."""
-    parts_t, parts_cov, parts_col = [], [], []
+def trace_soft(scene, o, d, *, shading: str, tau_d, tau_e):
+    """Soft-trace arbitrary ray bundles -> float RGBA (0..255 domain).
+
+    o: (..., 3) origins; d: (..., 3) or broadcastable directions.
+    """
     lead = o.shape[:-1]
     d_b = jnp.broadcast_to(d, lead + (3,))
+    oc = tuple(o[..., q].reshape(-1, 1) for q in range(3))
+    dc = tuple(d_b[..., q].reshape(-1, 1) for q in range(3))
+
+    parts_t, parts_cov, parts_r, parts_g, parts_b = [], [], [], [], []
 
     if scene.num_triangles:
-        v0 = scene.tri_verts[:, 0, :]
-        e1 = scene.tri_verts[:, 1, :] - v0
-        e2 = scene.tri_verts[:, 2, :] - v0
-        t, cov = _tri_soft(o, d, v0, e1, e2, tau_e)
+        t, cov, n = _tri_soft_planar(oc, dc, scene, tau_e)
+        sr, sg, sb = _shade_planar(scene, oc, dc, t, n, scene.tri_colour, shading)
         parts_t.append(t)
         parts_cov.append(cov)
-        n = jnp.cross(e1, e2)
-        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-        # flip against ray per pixel
-        ndotd = jnp.einsum("...k,nk->...n", d_b, n)
-        n_pix = jnp.where(ndotd[..., None] > 0, -n, n)       # (..., T, 3)
-        parts_col.append(
-            _shade_prim(scene, o, d_b, t, n_pix, scene.tri_colour, shading)
-        )
+        parts_r.append(sr)
+        parts_g.append(sg)
+        parts_b.append(sb)
 
     if scene.num_spheres:
-        t, cov = _sphere_soft(
-            o, d, scene.sphere_origin, scene.sphere_radius, tau_e
+        t, cov, n = _sphere_soft_planar(oc, dc, scene, tau_e)
+        sr, sg, sb = _shade_planar(
+            scene, oc, dc, t, n, scene.sphere_colour, shading
         )
         parts_t.append(t)
         parts_cov.append(cov)
-        p = o[..., None, :] + t[..., None] * d_b[..., None, :]
-        n_pix = (p - scene.sphere_origin) / jnp.maximum(
-            scene.sphere_radius[..., None], 1e-20
-        )
-        parts_col.append(
-            _shade_prim(scene, o, d_b, t, n_pix, scene.sphere_colour, shading)
-        )
+        parts_r.append(sr)
+        parts_g.append(sg)
+        parts_b.append(sb)
 
     ts = jnp.concatenate(parts_t, axis=-1)
     covs = jnp.concatenate(parts_cov, axis=-1)
-    cols = jnp.concatenate(parts_col, axis=-2)
+    shade = (
+        jnp.concatenate(parts_r, axis=-1),
+        jnp.concatenate(parts_g, axis=-1),
+        jnp.concatenate(parts_b, axis=-1),
+    )
 
-    bg = jnp.zeros(3, jnp.float32)
-    rgb = _soft_aggregate(ts, covs, cols, tau_d, bg)
+    rgb = _soft_aggregate_planar(
+        ts, covs, shade, tau_d, (0.0, 0.0, 0.0)
+    )
+    rgb = jnp.concatenate(rgb, axis=-1)                          # (P, 3)
     if shading != "legacy":
         rgb = jnp.clip(rgb, 0.0, 255.0)
-    alpha = jnp.full(lead + (1,), 255.0, jnp.float32)
-    return jnp.concatenate([rgb, alpha], axis=-1)
-
-
-def _shade_prim(scene, o, d_b, t, normals, base_colour, shading):
-    """Per-(pixel, prim) shaded RGB in the 0..255 domain.
-
-    t: (..., N); normals: (..., N, 3) or (N, 3); base_colour: (N, 4).
-    """
-    albedo = base_colour[..., :3]                    # (N, 3)
-    if shading == "legacy":
-        scalar = 255.0 - (t / LEGACY_FOG_MAX) * 255.0
-        return scalar[..., None] * albedo
-    if shading == "lambert":
-        lights = scene.lights
-        p = o[..., None, :] + t[..., None] * d_b[..., None, :]   # (..., N, 3)
-        diffuse = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
-        n = jnp.broadcast_to(normals, p.shape)
-        for li in range(lights.position.shape[0]):
-            tl = lights.position[li] - p                          # (..., N, 3)
-            dist = jnp.linalg.norm(tl, axis=-1, keepdims=True)
-            ldir = tl / jnp.maximum(dist, 1e-20)
-            ndotl = jnp.maximum(jnp.sum(n * ldir, axis=-1), 0.0)
-            diffuse = diffuse + (
-                lights.intensity[li] * ndotl[..., None] * lights.colour[li]
-            )
-        rgb = albedo * (lights.ambient + diffuse)
-        # NOTE: clipping happens post-aggregation in trace_soft (linear
-        # blending of unclipped radiance), matching the Pallas soft kernel's
-        # factored (weights @ albedo) accumulation.
-        return rgb * 255.0
-    raise ValueError(f"soft shading mode {shading!r} not supported (legacy/lambert)")
+    alpha = jnp.full(rgb.shape[:-1] + (1,), 255.0, jnp.float32)
+    return jnp.concatenate([rgb, alpha], axis=-1).reshape(lead + (4,))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "shading", "row_chunk"),
+    static_argnames=("height", "width", "shading", "row_chunk", "remat"),
 )
 def render_soft_jit(
     scene,
@@ -220,6 +279,7 @@ def render_soft_jit(
     width: int,
     shading: str = "lambert",
     row_chunk: int = 16,
+    remat: bool = True,
 ):
     o, d = camera.rays(height, width)
 
@@ -228,6 +288,14 @@ def render_soft_jit(
         return trace_soft(
             scene, oc, dc, shading=shading, tau_d=tau_d, tau_e=tau_e
         )
+
+    if remat:
+        # Differentiating through the row-chunk map would otherwise save
+        # every (pixels x prims) intermediate of every chunk as an autodiff
+        # residual. Rematerialization keeps only the chunk inputs and
+        # recomputes the (cheap, VPU-bound) forward inside the backward:
+        # the classic flash-attention trade of FLOPs for bandwidth.
+        do_chunk = jax.checkpoint(do_chunk)
 
     if height > row_chunk and height % row_chunk == 0:
         o = o.reshape(height // row_chunk, row_chunk, width, 3)
