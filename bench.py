@@ -42,6 +42,7 @@ def bench_config(scene, config, tiled=True, n_frames=100):
         bins = bin_scene(
             packed, height=config.height, width=config.width,
             k=config.cull_k, shadows=config.shadows,
+            shadow_k=config.shadow_cull_k,
         )
         if bool(bins.overflow):
             print(f"# WARNING: cull_k={config.cull_k} overflow -> brute path",

@@ -146,6 +146,11 @@ class RenderConfig:
     # spheres each). Tiles exceeding this fall back to the brute kernel for
     # the frame; raise for dense scenes (cost scales linearly with it).
     cull_k: int = 32
+    # Max shadow-occluder candidates per (light, tile). Shadow corridors
+    # (tile -> light bbox) are much wider than tiles, so dense scenes need a
+    # higher cap here than cull_k; overflow falls back to the brute kernel
+    # whose per-pixel shadow loop over ALL primitives is ~100x slower.
+    shadow_cull_k: int = 64
 
     # Output: "int" reproduces the reference's int32 RGBA framebuffer
     # (rayTracer.cl:198-201); "float" keeps float pixels (for grads).

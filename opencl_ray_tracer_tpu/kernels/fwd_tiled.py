@@ -425,7 +425,7 @@ def _build_tiled_kernel(
         sph_attr_ref,   # (1, k_sph, 8)
         tri_sh_ref,     # (1, L*k_sh_tri, 16) frustum planes (shadows)
         sph_sh_ref,     # (1, L*k_sh_sph, 16) occluder spheres
-        out_ref,        # (1, 8ch * N_SUB * 8, FT) channel-major folded rows
+        out_ref,        # (1, 4ch * N_SUB * 8, FT) channel-major folded rows
     ):
         i = pl.program_id(0)
         ty = i // ntx
@@ -608,13 +608,12 @@ def _build_tiled_kernel(
             # Channel-major folded stores: channel c of sub-block sb owns
             # output rows [c*N_SUB*8 + sb*8, +8). All 8-sublane-aligned, no
             # relayout; the wrapper's untangle pass restores image order.
-            zeros8 = jnp.zeros((8, FT), jnp.float32)
+            # Only the 4 RGBA channels are emitted: aux (t/hit) channels had
+            # no consumer and doubled both the HBM store traffic and the
+            # post-kernel untangle cost.
             channels = (
                 r8, g8, b8,
                 jnp.full((8, FT), 255.0, jnp.float32),
-                t8,
-                hit8.astype(jnp.float32),
-                zeros8, zeros8,
             )
             base_row = pl.multiple_of(sb * 8, 8)
             for c, val8 in enumerate(channels):
@@ -663,10 +662,10 @@ class TileBins:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("height", "width", "k", "shadows")
+    jax.jit, static_argnames=("height", "width", "k", "shadows", "shadow_k")
 )
 def bin_scene(packed, *, height: int, width: int, k: int = 32,
-              shadows: bool = False) -> TileBins:
+              shadows: bool = False, shadow_k: int = 64) -> TileBins:
     """Scene-static tile binning (primary + shadow candidate lists)."""
     nty = _round_up(height, TILE_H) // TILE_H
     ntx = _round_up(width, TILE_W) // TILE_W
@@ -709,11 +708,11 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
         cnt_sph = zero_cnt
 
     k_sh_tri = (
-        min(64, _round_up(packed.n_tris, CHUNK))
+        min(shadow_k, _round_up(packed.n_tris, CHUNK))
         if (shadows and packed.n_tris) else 0
     )
     k_sh_sph = (
-        min(64, _round_up(packed.n_spheres, CHUNK))
+        min(shadow_k, _round_up(packed.n_spheres, CHUNK))
         if (shadows and packed.n_spheres) else 0
     )
     lpos = packed.lights.position
@@ -835,7 +834,7 @@ def _render_tiled_jit(
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct(
-                (n_tiles, 8 * N_SUB * 8, ft), jnp.float32
+                (n_tiles, 4 * N_SUB * 8, ft), jnp.float32
             ),
             grid=(n_tiles,),
             in_specs=[
@@ -849,15 +848,15 @@ def _render_tiled_jit(
                 tile3(ssh.shape),
             ],
             out_specs=pl.BlockSpec(
-                (1, 8 * N_SUB * 8, ft), lambda i: (i, 0, 0),
+                (1, 4 * N_SUB * 8, ft), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             interpret=interpret,
         )(params_, counts, tc, ta, sc, sa, tsh, ssh)
         # untangle (tile, channel, sub-block, fold-sublane, lane) -> planes
-        img = out.reshape(nty, ntx, 8, N_SUB, 8, ft // TILE_W, TILE_W)
+        img = out.reshape(nty, ntx, 4, N_SUB, 8, ft // TILE_W, TILE_W)
         img = img.transpose(2, 0, 3, 4, 5, 1, 6).reshape(
-            8, nty * TILE_H, ntx * TILE_W
+            4, nty * TILE_H, ntx * TILE_W
         )
         return img[:, :height, :width]
 
@@ -874,10 +873,8 @@ def _render_tiled_jit(
             as_int=False,
             interpret=interpret,
         )  # (H, W, 4) float
-        # match tiled_render's planar (8, H, W) contract
-        planes = jnp.moveaxis(rgba, -1, 0)
-        extra = jnp.zeros((4, height, width), jnp.float32)
-        return jnp.concatenate([planes, extra], axis=0)
+        # match tiled_render's planar (4, H, W) contract
+        return jnp.moveaxis(rgba, -1, 0)
 
     operands = (
         params, bins.counts, tri_coef_t, bins.tri_attr_t, sph_coef_t,
@@ -923,6 +920,7 @@ def render_tiled_packed(
             width=config.width,
             k=config.cull_k,
             shadows=config.shadows,
+            shadow_k=config.shadow_cull_k,
         )
     return _render_tiled_jit(
         packed,

@@ -111,8 +111,15 @@ def test_gradients_wrt_all_scene_leaves():
 
 
 def test_inverse_rendering_recovers_position():
-    """End-to-end: move a sphere 6px off, fit_scene pulls it back."""
+    """End-to-end: move a sphere 6px off, fit_scene pulls it back.
+
+    Uses a 2-device mesh: XLA:CPU's collective rendezvous hard-aborts the
+    process if any of the mesh threads is starved for 40s, and 100 steps of
+    8-way collectives on a small CI host trip that. Two devices still
+    exercise the sharded grad psum path; the full 8-device mesh is covered
+    by the (single-step) test_parallel suite."""
     from opencl_ray_tracer_tpu.models.inverse import SPHERE_PARAMS, fit_scene
+    from opencl_ray_tracer_tpu.parallel import make_mesh
 
     cam = legacy_ortho_camera()
     cfg = soft_cfg()
@@ -122,7 +129,7 @@ def test_inverse_rendering_recovers_position():
     init = sphere_scene(x=70.0)
     fitted, losses = fit_scene(
         init, target, camera=cam, config=cfg, steps=100, learning_rate=0.4,
-        trainable=SPHERE_PARAMS, log_every=1000,
+        trainable=SPHERE_PARAMS, log_every=1000, mesh=make_mesh(2),
     )
     x_fit = float(fitted.sphere_origin[0, 0])
     assert abs(x_fit - 64.0) < 1.5, f"fitted x={x_fit}, want 64"
