@@ -43,6 +43,14 @@ from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
 
 BG_DEPTH = 1000.0  # background pseudo-depth for the softmin aggregation
 
+# Soft-shadow constants. The hard path offsets shadow origins 1e-2 along the
+# normal and requires t > 1e-3 (kernels/fwd.py occluded_along); the soft gate
+# keeps those semantics as tau_e -> 0 but widens the self-occlusion exclusion
+# to ~4*tau_e so a surface's own primitive (at t ~ 0) cannot half-shadow it
+# through the sigmoid tail.
+SHADOW_OFFSET = 1e-2
+SHADOW_T_MIN = 1e-3
+
 
 def _sphere_soft_planar(o, d, scene, tau_e):
     """(P, S) soft depth + coverage + unit-ish normals for spheres.
@@ -176,6 +184,133 @@ def _shade_planar(scene, o, d, t, n, albedo, shading):
     raise ValueError(f"soft shading mode {shading!r} not supported (legacy/lambert)")
 
 
+def _occlusion_logvis(scene, so, ld, dist, tau_e):
+    """Log soft visibility of a light along shadow rays.
+
+    so: 3-tuple of (P, 1) shadow origins; ld: 3-tuple of (P, 1) unit
+    directions toward the light; dist: (P, 1) distance to the light.
+    Returns (P, 1) log prod_j (1 - occ_j): occ_j is primitive j's soft
+    coverage of the shadow ray, gated to the open segment
+    (SHADOW_T_MIN..dist) with tau_e-temperature sigmoids (the differentiable
+    analogue of kernels/fwd.py occluded_along's (t > 1e-3) & (t < dist)).
+    Gradients w.r.t. light position flow through BOTH gates and through the
+    silhouette coverage of every occluder — visibility gradients exist.
+    """
+    tau_g = jnp.maximum(tau_e, 1e-4)
+    shift = jnp.maximum(SHADOW_T_MIN, 4.0 * tau_g)
+    acc = jnp.zeros_like(dist)
+    parts = []
+    if scene.num_triangles:
+        parts.append(_tri_soft_planar(so, ld, scene, tau_e))
+    if scene.num_spheres:
+        parts.append(_sphere_soft_planar(so, ld, scene, tau_e))
+    for t, cov, _n in parts:
+        occ = (
+            cov
+            * jax.nn.sigmoid((t - shift) / tau_g)
+            * jax.nn.sigmoid((dist - t) / tau_g)
+        )
+        acc = acc + jnp.sum(
+            jnp.log1p(-jnp.clip(occ, 0.0, 1.0 - 1e-6)), axis=-1, keepdims=True
+        )
+    return acc
+
+
+def _shade_aggregate(scene, o, d, ts, covs, normals, albs, tau_d, tau_e,
+                     *, phong: bool, shadows: bool):
+    """Shade-after-aggregate: softmax-expected hit point/normal/albedo, then
+    ONE shading evaluation per pixel with soft shadows + optional Phong
+    specular.
+
+    Per-primitive shading with shadows would be O(pixels x prims x prims);
+    aggregating first keeps the shadow pass O(pixels x prims) per light and
+    converges to hard phong-at-nearest-hit as tau -> 0 (reference shading
+    hook rayTracer.cl:186-196, extended per BASELINE.json config 3).
+
+    ts, covs: (P, N); normals: 3-tuple of (P, N); albs: 3-tuple of (P, N).
+    Returns 3-tuple of (P, 1) UNclipped 0..255-domain channels.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    valid = covs > 1e-12
+    logit = jnp.where(
+        valid, -ts / tau_d + jnp.log(jnp.clip(covs, 1e-12, 1.0)), -1e30
+    )
+    w = jax.nn.softmax(logit, axis=-1)                           # (P, N)
+    w_bg = jnp.exp(
+        jnp.sum(
+            jnp.log1p(-jnp.clip(covs, 0.0, 1.0 - 1e-6)), axis=-1, keepdims=True
+        )
+    )
+    t_hat = jnp.sum(w * ts, axis=-1, keepdims=True)              # (P, 1)
+    nx = jnp.sum(w * normals[0], axis=-1, keepdims=True)
+    ny = jnp.sum(w * normals[1], axis=-1, keepdims=True)
+    nz = jnp.sum(w * normals[2], axis=-1, keepdims=True)
+    ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+    ar = jnp.sum(w * albs[0], axis=-1, keepdims=True)
+    ag = jnp.sum(w * albs[1], axis=-1, keepdims=True)
+    ab = jnp.sum(w * albs[2], axis=-1, keepdims=True)
+    px = ox + t_hat * dx
+    py = oy + t_hat * dy
+    pz = oz + t_hat * dz
+
+    vinv = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-20))
+    vx, vy, vz = -dx * vinv, -dy * vinv, -dz * vinv
+
+    lights = scene.lights
+    zero = jnp.zeros_like(t_hat)
+    diff_r, diff_g, diff_b = zero, zero, zero
+    spec_r, spec_g, spec_b = zero, zero, zero
+    for li in range(lights.position.shape[0]):
+        lp = lights.position[li]
+        lint = lights.intensity[li]
+        lc = lights.colour[li]
+        tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+        dist = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20))
+        ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+        ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+        if shadows:
+            so = (px + SHADOW_OFFSET * nx,
+                  py + SHADOW_OFFSET * ny,
+                  pz + SHADOW_OFFSET * nz)
+            vis = jnp.exp(
+                _occlusion_logvis(scene, so, (ldx, ldy, ldz), dist, tau_e)
+            )
+        else:
+            vis = 1.0
+        wd = lint * ndotl * vis
+        diff_r = diff_r + wd * lc[0]
+        diff_g = diff_g + wd * lc[1]
+        diff_b = diff_b + wd * lc[2]
+        if phong:
+            # r = 2(n.l)n - l ; spec = k * max(r.v, 0)^shine (soft through
+            # vis, hard ndotl>0 backface gate exactly like kernels/fwd.py).
+            two_ndl = 2.0 * (nx * ldx + ny * ldy + nz * ldz)
+            rx = two_ndl * nx - ldx
+            ry = two_ndl * ny - ldy
+            rz = two_ndl * nz - ldz
+            rdotv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
+            ws = (
+                lights.spec_strength
+                * jnp.exp(lights.shininess * jnp.log(jnp.maximum(rdotv, 1e-20)))
+                * lint
+                * vis
+                * (ndotl > 0.0)
+            )
+            spec_r = spec_r + ws * lc[0]
+            spec_g = spec_g + ws * lc[1]
+            spec_b = spec_b + ws * lc[2]
+
+    amb = lights.ambient
+    fg = (
+        ar * (amb + diff_r) + spec_r,
+        ag * (amb + diff_g) + spec_g,
+        ab * (amb + diff_b) + spec_b,
+    )
+    return tuple((1.0 - w_bg) * c * 255.0 for c in fg)
+
+
 def _soft_aggregate_planar(ts, covs, shade_rgb, tau_d, bg_rgb):
     """Softmin-over-depth aggregation with a coverage-composited background.
 
@@ -216,49 +351,75 @@ def _soft_aggregate_planar(ts, covs, shade_rgb, tau_d, bg_rgb):
     return out
 
 
-def trace_soft(scene, o, d, *, shading: str, tau_d, tau_e):
+def trace_soft(scene, o, d, *, shading: str, tau_d, tau_e,
+               shadows: bool = False):
     """Soft-trace arbitrary ray bundles -> float RGBA (0..255 domain).
 
     o: (..., 3) origins; d: (..., 3) or broadcastable directions.
+
+    legacy / lambert-without-shadows shade per primitive then aggregate
+    (the SoftRas structure); phong — and lambert with shadows on —
+    aggregate the hit attributes first and shade once per pixel so the
+    soft-shadow pass stays O(prims), see _shade_aggregate.
     """
     lead = o.shape[:-1]
     d_b = jnp.broadcast_to(d, lead + (3,))
     oc = tuple(o[..., q].reshape(-1, 1) for q in range(3))
     dc = tuple(d_b[..., q].reshape(-1, 1) for q in range(3))
 
-    parts_t, parts_cov, parts_r, parts_g, parts_b = [], [], [], [], []
+    aggregate_shading = shading == "phong" or (shadows and shading == "lambert")
+
+    parts_t, parts_cov = [], []
+    parts_r, parts_g, parts_b = [], [], []          # per-prim shaded rgb
+    parts_nx, parts_ny, parts_nz = [], [], []       # per-prim normals
+    parts_ar, parts_ag, parts_ab = [], [], []       # per-prim albedo planes
+
+    def add(t, cov, n, colour):
+        parts_t.append(t)
+        parts_cov.append(cov)
+        if aggregate_shading:
+            like = jnp.ones_like(t)
+            parts_nx.append(n[0] * like)
+            parts_ny.append(n[1] * like)
+            parts_nz.append(n[2] * like)
+            parts_ar.append(colour[:, 0][None, :] * like)
+            parts_ag.append(colour[:, 1][None, :] * like)
+            parts_ab.append(colour[:, 2][None, :] * like)
+        else:
+            sr, sg, sb = _shade_planar(scene, oc, dc, t, n, colour, shading)
+            parts_r.append(sr)
+            parts_g.append(sg)
+            parts_b.append(sb)
 
     if scene.num_triangles:
         t, cov, n = _tri_soft_planar(oc, dc, scene, tau_e)
-        sr, sg, sb = _shade_planar(scene, oc, dc, t, n, scene.tri_colour, shading)
-        parts_t.append(t)
-        parts_cov.append(cov)
-        parts_r.append(sr)
-        parts_g.append(sg)
-        parts_b.append(sb)
-
+        add(t, cov, n, scene.tri_colour)
     if scene.num_spheres:
         t, cov, n = _sphere_soft_planar(oc, dc, scene, tau_e)
-        sr, sg, sb = _shade_planar(
-            scene, oc, dc, t, n, scene.sphere_colour, shading
-        )
-        parts_t.append(t)
-        parts_cov.append(cov)
-        parts_r.append(sr)
-        parts_g.append(sg)
-        parts_b.append(sb)
+        add(t, cov, n, scene.sphere_colour)
 
     ts = jnp.concatenate(parts_t, axis=-1)
     covs = jnp.concatenate(parts_cov, axis=-1)
-    shade = (
-        jnp.concatenate(parts_r, axis=-1),
-        jnp.concatenate(parts_g, axis=-1),
-        jnp.concatenate(parts_b, axis=-1),
-    )
 
-    rgb = _soft_aggregate_planar(
-        ts, covs, shade, tau_d, (0.0, 0.0, 0.0)
-    )
+    if aggregate_shading:
+        rgb = _shade_aggregate(
+            scene, oc, dc, ts, covs,
+            (jnp.concatenate(parts_nx, -1),
+             jnp.concatenate(parts_ny, -1),
+             jnp.concatenate(parts_nz, -1)),
+            (jnp.concatenate(parts_ar, -1),
+             jnp.concatenate(parts_ag, -1),
+             jnp.concatenate(parts_ab, -1)),
+            tau_d, tau_e, phong=shading == "phong", shadows=shadows,
+        )
+    else:
+        shade = (
+            jnp.concatenate(parts_r, axis=-1),
+            jnp.concatenate(parts_g, axis=-1),
+            jnp.concatenate(parts_b, axis=-1),
+        )
+        rgb = _soft_aggregate_planar(ts, covs, shade, tau_d, (0.0, 0.0, 0.0))
+
     rgb = jnp.concatenate(rgb, axis=-1)                          # (P, 3)
     if shading != "legacy":
         rgb = jnp.clip(rgb, 0.0, 255.0)
@@ -268,7 +429,9 @@ def trace_soft(scene, o, d, *, shading: str, tau_d, tau_e):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "shading", "row_chunk", "remat"),
+    static_argnames=(
+        "height", "width", "shading", "shadows", "row_chunk", "remat"
+    ),
 )
 def render_soft_jit(
     scene,
@@ -278,6 +441,7 @@ def render_soft_jit(
     height: int,
     width: int,
     shading: str = "lambert",
+    shadows: bool = False,
     row_chunk: int = 16,
     remat: bool = True,
 ):
@@ -286,7 +450,8 @@ def render_soft_jit(
     def do_chunk(args):
         oc, dc = args
         return trace_soft(
-            scene, oc, dc, shading=shading, tau_d=tau_d, tau_e=tau_e
+            scene, oc, dc, shading=shading, tau_d=tau_d, tau_e=tau_e,
+            shadows=shadows,
         )
 
     if remat:
@@ -306,7 +471,11 @@ def render_soft_jit(
 
 
 def render_soft(scene, camera: Camera, config: RenderConfig) -> jax.Array:
-    """Soft differentiable render -> float32 (H, W, 4), 0..255 domain."""
+    """Soft differentiable render -> float32 (H, W, 4), 0..255 domain.
+
+    All three shading modes are differentiable: legacy depth-fog, lambert,
+    and phong (with soft shadows when config.shadows) — BASELINE config 3
+    ("Phong + hard shadows with backward pass") runs as written."""
     return render_soft_jit(
         scene,
         camera,
@@ -314,5 +483,6 @@ def render_soft(scene, camera: Camera, config: RenderConfig) -> jax.Array:
         jnp.float32(config.tau_edge),
         height=config.height,
         width=config.width,
-        shading=config.shading if config.shading != "phong" else "lambert",
+        shading=config.shading,
+        shadows=config.shadows,
     )
