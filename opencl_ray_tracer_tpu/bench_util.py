@@ -58,3 +58,39 @@ def device_frame_time_us(
         samples.append((time.perf_counter_ns() - t0) / 1e3 / n_frames)
     samples.sort()
     return samples[len(samples) // 2]
+
+
+def device_step_time_us(
+    step_fn: Callable,
+    camera,
+    n_frames: int = 30,
+    reps: int = 3,
+) -> float:
+    """Median per-step device time in microseconds for SCALAR-returning steps.
+
+    Same CSE/DCE-defeating scan structure as device_frame_time_us, but
+    step_fn(camera) -> scalar (e.g. a loss whose grad was already consumed
+    into it) — the shape for timing fwd+bwd passes.
+    """
+
+    @jax.jit
+    def run(cam0):
+        jit_eps = jnp.linspace(0.0, 0.125, n_frames)
+
+        def body(acc, e):
+            cam = dataclasses.replace(cam0, o0=cam0.o0 + e * 1e-3)
+            return acc + step_fn(cam).astype(jnp.float32), ()
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jit_eps)
+        return acc
+
+    out = run(camera)
+    jax.block_until_ready(out)
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter_ns()
+        out = run(camera)
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter_ns() - t0) / 1e3 / n_frames)
+    samples.sort()
+    return samples[len(samples) // 2]

@@ -142,7 +142,7 @@ def cmd_app(args) -> int:
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root harness
 
-    bench_mod.main()
+    bench_mod.main(args.bench_args)  # forward e.g. --scene 3 --width 640
     return 0
 
 
@@ -212,6 +212,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_app)
 
     p = sub.add_parser("bench", help="rays/s benchmark")
+    p.add_argument(
+        "bench_args", nargs=argparse.REMAINDER,
+        help="forwarded to bench.py (e.g. --scene 3 --width 640 --height 480)",
+    )
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("fit", help="inverse-rendering demo")

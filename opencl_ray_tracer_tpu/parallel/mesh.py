@@ -62,6 +62,12 @@ def _render_rows(scene, camera, h, w, config: RenderConfig):
     # jit-in-jit is inlined during tracing, so the cached jitted entry points
     # are safe to reuse inside shard_map.
     if config.soft:
+        if config.backend == "pallas":
+            from opencl_ray_tracer_tpu.kernels.soft import render_soft_pallas
+
+            return render_soft_pallas(
+                scene, camera, config.replace(height=h, width=w)
+            )
         from opencl_ray_tracer_tpu.diff.soft import render_soft_jit
 
         return render_soft_jit(
@@ -71,7 +77,8 @@ def _render_rows(scene, camera, h, w, config: RenderConfig):
             jnp.float32(config.tau_edge),
             height=h,
             width=w,
-            shading=config.shading if config.shading != "phong" else "lambert",
+            shading=config.shading,
+            shadows=config.shadows,
         )
     if config.backend == "pallas":
         # Fused megakernel per shard: each chip traces its own row block
