@@ -55,6 +55,7 @@ def bench_config(scene, config, cam=None, tiled=True, n_frames=100):
             packed, height=config.height, width=config.width,
             k=config.cull_k, shadows=config.shadows,
             shadow_k=config.shadow_cull_k,
+            camera=cam if cam.normalize else None,
         )
         if bool(bins.overflow):
             print(f"# WARNING: cull_k={config.cull_k} overflow -> brute path",
@@ -172,6 +173,16 @@ def main(argv=None) -> None:
             cfg_legacy = RenderConfig(width=wid, height=hgt, shading="legacy")
             u2, r2 = bench_config(scene_hl, cfg_legacy, tiled=True)
             row("tiled legacy 1080p 10sph+1cube", u2, r2)
+            # real pinhole camera through the projective tiled path
+            from opencl_ray_tracer_tpu import pinhole_camera
+
+            cam_ph = pinhole_camera(
+                position=(wid / 2.0, hgt / 2.0, 900.0),
+                look_at=(wid / 2.0, hgt / 2.0, -85.0),
+                fov_degrees=60.0, width=wid, height=hgt,
+            )
+            u2p, r2p = bench_config(scene_hl, cfg_legacy, cam=cam_ph, tiled=True)
+            row("tiled legacy 1080p pinhole (projective culling)", u2p, r2p)
             u2b, r2b = bench_config(scene_hl, cfg_legacy, tiled=False, n_frames=30)
             row("brute legacy 1080p 10sph+1cube", u2b, r2b)
             scene_stress = random_scene(

@@ -1,4 +1,10 @@
-"""Tiled Pallas kernel with per-tile primitive culling (shared-dir cameras).
+"""Tiled Pallas kernel with per-tile primitive culling.
+
+Covers BOTH camera families: shared-direction (legacy ortho — affine
+coefficient fast path) and shared-origin pinhole (projective coefficient
+path, see _prep_projective_coefs). The reference has neither camera
+generality nor culling (rayTracer.cl:111-202 brute-forces every primitive
+per pixel with one fixed direction).
 
 The brute-force megakernel (fwd.py) tests every pixel against every
 primitive slot, and its 128-wide lane chunks mean even a 22-primitive scene
@@ -58,7 +64,10 @@ from opencl_ray_tracer_tpu.kernels.fwd import (
     _LIGHT_STRIDE,
     _P_AMBIENT,
     _P_D0,
+    _P_DDX,
+    _P_DDY,
     _P_LIGHTS,
+    _P_O0,
     _P_SHINE,
     _P_SPEC,
     _camera_params,
@@ -66,7 +75,7 @@ from opencl_ray_tracer_tpu.kernels.fwd import (
     _prep_scene_arrays,
     _use_interpret,
 )
-from opencl_ray_tracer_tpu.ops.intersect import MISS_T
+from opencl_ray_tracer_tpu.ops.intersect import EPSILON, MISS_T
 from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
 
 TILE_H = 64
@@ -125,6 +134,117 @@ def _prim_bboxes(packed):
     return tri_box, sph_box
 
 
+def _pinhole_bboxes(packed, camera: Camera):
+    """Screen-space conservative bboxes under a shared-origin pinhole camera.
+
+    Pixel (x, y) traces direction d0 + x*ddx + y*ddy from origin o, so a
+    world point P projects to [x*k, y*k, k] = M^-1 (P - o) with
+    M = [ddx | ddy | d0] columns. A convex primitive's screen bbox is the
+    bbox of its projected corner points (central projection preserves convex
+    hulls in front of the camera); any corner at or behind the near plane
+    makes the bbox conservatively cover the whole screen — correct, just
+    uncullable for that primitive.
+    """
+    M = jnp.stack([camera.ddx, camera.ddy, camera.d0], axis=1)
+    Minv = jnp.linalg.inv(M)
+    big = 1e9
+
+    def box(P):  # (N, K, 3) corner points per primitive
+        v = jnp.einsum("ij,nkj->nki", Minv, P - camera.o0)
+        w = v[..., 2]
+        front = w > 1e-6
+        ok = jnp.all(front, axis=1)
+        sw = jnp.where(front, w, 1.0)
+        sx = v[..., 0] / sw
+        sy = v[..., 1] / sw
+        pad = 1.0  # half-pixel centre offset + f32 slack
+        return (
+            jnp.where(ok, jnp.min(sx, 1) - pad, -big),
+            jnp.where(ok, jnp.max(sx, 1) + pad, big),
+            jnp.where(ok, jnp.min(sy, 1) - pad, -big),
+            jnp.where(ok, jnp.max(sy, 1) + pad, big),
+        )
+
+    v0 = packed.tri_v0.T  # (Tp, 3)
+    tri_box = box(
+        jnp.stack([v0, v0 + packed.tri_e1.T, v0 + packed.tri_e2.T], axis=1)
+    )
+    c = packed.sph_origin.T  # (Sp, 3)
+    r = packed.sph_radius[0]
+    signs = jnp.array(
+        [
+            [sx, sy, sz]
+            for sx in (-1.0, 1.0)
+            for sy in (-1.0, 1.0)
+            for sz in (-1.0, 1.0)
+        ],
+        jnp.float32,
+    )  # (8, 3) AABB corner pattern
+    sph_box = box(c[:, None, :] + r[:, None, None] * signs[None])
+    return tri_box, sph_box
+
+
+def _prep_projective_coefs(packed, camera: Camera):
+    """Per-primitive projective coefficients for shared-ORIGIN (pinhole)
+    cameras — the perspective analogue of fwd.py's _prep_affine_coefs.
+
+    With origin o fixed and UNNORMALIZED direction d(x, y) = d0 + x*ddx +
+    y*ddy, Möller–Trumbore is projective in pixel coords:
+
+        pvec  = d x e2                    affine in (x, y)   (cross linear in d)
+        det   = e1 . pvec                 affine
+        u_num = (o - v0) . pvec           affine
+        qvec  = (o - v0) x e1             constant per triangle
+        v_num = d . qvec                  affine
+        t_num = e2 . qvec                 constant
+
+    u = u_num/det, v = v_num/det and the WORLD distance along the unit
+    direction is t = (t_num/det) * |d|. The kernel evaluates validity
+    sign-aware (multiply through by sign(det)) so the inner loop stays
+    FMA + compares with a single divide for t. Sphere (geometric, reference
+    quirks preserved): L = c - o is constant per sphere, tca = (L . d)/|d|,
+    d^2 = |L|^2 - tca^2.
+
+    Returns tri_coef (10, Tp) rows [det0,detx,dety, un0,unx,uny,
+    vn0,vnx,vny, tnum]; sph_coef (5, Sp) rows [tc0,tcx,tcy, L2, r2].
+    Zero-padded triangles give det == 0 everywhere and fail the kernel's
+    |det| >= eps*|d| test. Pure jnp, differentiable.
+    """
+    o0, d0, ddx, ddy = camera.o0, camera.d0, camera.ddx, camera.ddy
+
+    v0 = packed.tri_v0.T  # (Tp, 3)
+    e1 = packed.tri_e1.T
+    e2 = packed.tri_e2.T
+    pv0 = jnp.cross(jnp.broadcast_to(d0, e2.shape), e2)
+    pvx = jnp.cross(jnp.broadcast_to(ddx, e2.shape), e2)
+    pvy = jnp.cross(jnp.broadcast_to(ddy, e2.shape), e2)
+    det0 = jnp.sum(e1 * pv0, -1)
+    detx = jnp.sum(e1 * pvx, -1)
+    dety = jnp.sum(e1 * pvy, -1)
+    base = o0 - v0
+    un0 = jnp.sum(base * pv0, -1)
+    unx = jnp.sum(base * pvx, -1)
+    uny = jnp.sum(base * pvy, -1)
+    q = jnp.cross(base, e1)
+    vn0 = jnp.sum(d0 * q, -1)
+    vnx = jnp.sum(ddx * q, -1)
+    vny = jnp.sum(ddy * q, -1)
+    tnum = jnp.sum(e2 * q, -1)
+    tri_coef = jnp.stack(
+        [det0, detx, dety, un0, unx, uny, vn0, vnx, vny, tnum], 0
+    )
+
+    C = packed.sph_origin.T  # (Sp, 3)
+    r = packed.sph_radius[0]
+    L = C - o0
+    tc0 = jnp.sum(L * d0, -1)
+    tcx = jnp.sum(L * ddx, -1)
+    tcy = jnp.sum(L * ddy, -1)
+    l2 = jnp.sum(L * L, -1)
+    sph_coef = jnp.stack([tc0, tcx, tcy, l2, r * r], 0)
+    return tri_coef, sph_coef
+
+
 def _bin_prims(box, n_real, nty, ntx, k, light_xy=None):
     """(tiles x prims) overlap -> per-tile top-k candidate indices.
 
@@ -175,6 +295,9 @@ _NULL_TRI = jnp.array(
 _NULL_SPH = jnp.array(
     [-1e9, 0, 0, 1e9, 0, 0, 0, 0, 0, -1.0], jnp.float32
 )  # tca < 0 and r2 < 0 and d2 huge
+# projective nulls: det == 0 fails |det| >= eps*|d|; tca < 0 fails tca >= 0.
+_NULL_TRI_PROJ = jnp.zeros((10,), jnp.float32)
+_NULL_SPH_PROJ = jnp.array([-1e9, 0, 0, 0, -1.0], jnp.float32)
 
 
 def _tri_shadow_planes(packed, lpos):
@@ -280,6 +403,7 @@ def _build_tiled_kernel(
     n_lights: int,
     shading: str,
     shadows: bool,
+    projective: bool = False,
 ):
     TP = SUB_PIX
     FT = SUB_PIX // 8  # folded lane width: (1, TP) <-> (8, FT)
@@ -347,6 +471,38 @@ def _build_tiled_kernel(
         t0 = tca - thc
         return t0, hit & (t0 != 0.0)
 
+    # --- projective (pinhole) tests: see _prep_projective_coefs -------------
+    def tri_proj(coef_ref, off, x, y, len_d):
+        (det0, detx, dety, un0, unx, uny, vn0, vnx, vny, tn) = cols(
+            coef_ref, off, range(10)
+        )
+        det = det0 + x * detx + y * dety
+        un = un0 + x * unx + y * uny
+        vn = vn0 + x * vnx + y * vny
+        # sign-aware barycentric tests: u in [0,1], v >= 0, u+v <= 1 without
+        # dividing; |det| >= eps*|d| matches the oracle's normalized-dir eps.
+        sgn = jnp.where(det >= 0.0, 1.0, -1.0)
+        dets = det * sgn
+        uns = un * sgn
+        vns = vn * sgn
+        valid = (
+            (dets >= EPSILON * len_d)
+            & (uns >= 0.0)
+            & (vns >= 0.0)
+            & (uns + vns <= dets)
+        )
+        t = tn / jnp.where(valid, det, 1.0) * len_d
+        return t, valid
+
+    def sph_proj(coef_ref, off, x, y, inv_len):
+        tc0, tcx, tcy, l2, r2 = cols(coef_ref, off, range(5))
+        tca = (tc0 + x * tcx + y * tcy) * inv_len
+        d2 = l2 - tca * tca
+        hit = (tca >= 0.0) & (d2 <= r2)
+        thc = jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+        t0 = tca - thc
+        return t0, hit & (t0 != 0.0)
+
     def trace_type(coef_ref, attr_ref, count, test, best):
         """Dynamic chunk loop over one candidate type (ragged skip)."""
         n_ch = (count + (CHUNK - 1)) // CHUNK
@@ -376,6 +532,22 @@ def _build_tiled_kernel(
             occ_c = cond if occ_c is None else (occ_c & cond)
         return occ_c                                  # (CHUNK, TP)
 
+    def tri_sh_chunk_proj(ref, li, off, o0c, dn, t):
+        """Frustum plane test under the pinhole: p = o + t*dn, so
+        m.p + c = (m.o + c) + t*(m.dn) — per-prim column math + one FMA
+        against the per-pixel unit direction."""
+        o0x, o0y, o0z = o0c
+        dnx, dny, dnz = dn
+        occ_c = None
+        for pi in range(4):
+            mx, my, mz, cc = cols(ref, li * k_sh_tri + off, range(4 * pi, 4 * pi + 4))
+            md = mx * dnx + my * dny + mz * dnz       # (CHUNK, TP)
+            s = (cc + mx * o0x + my * o0y + mz * o0z) + md * t
+            eps = _SH_PLANE_EPS if pi == 3 else 0.0
+            cond = s >= eps
+            occ_c = cond if occ_c is None else (occ_c & cond)
+        return occ_c                                  # (CHUNK, TP)
+
     def sph_sh_chunk(ref, li, off, p, ld, dist):
         px, py, pz = p
         ldx, ldy, ldz = ld
@@ -388,7 +560,7 @@ def _build_tiled_kernel(
         t0 = tca - thc
         return hit & (t0 > 1e-3) & (t0 < dist)
 
-    def occluded(tri_sh_ref, sph_sh_ref, li, cnt_t, cnt_s, x, y, t, d0,
+    def occluded(tri_sh_ref, sph_sh_ref, li, cnt_t, cnt_s, tri_args,
                  p, ld, dist):
         # The visibility accumulator is f32 0/1 rather than bool: i1 vector
         # carries through dynamic-trip-count loops tickle a Mosaic layout
@@ -398,7 +570,16 @@ def _build_tiled_kernel(
 
         if k_sh_tri:
             def body_t(c, vis):
-                blocked = tri_sh_chunk(tri_sh_ref, li, c * CHUNK, x, y, t, d0)
+                if projective:
+                    o0c, dn, t = tri_args
+                    blocked = tri_sh_chunk_proj(
+                        tri_sh_ref, li, c * CHUNK, o0c, dn, t
+                    )
+                else:
+                    x, y, t, d0 = tri_args
+                    blocked = tri_sh_chunk(
+                        tri_sh_ref, li, c * CHUNK, x, y, t, d0
+                    )
                 clear = ~jnp.any(blocked, axis=0, keepdims=True)
                 return vis * clear.astype(jnp.float32)
 
@@ -441,11 +622,32 @@ def _build_tiled_kernel(
         lrow = (lane // TILE_W).astype(jnp.float32)
 
         d0x, d0y, d0z = (scalar(params_ref, _P_D0 + q) for q in range(3))
+        if projective:
+            o0x, o0y, o0z = (scalar(params_ref, _P_O0 + q) for q in range(3))
+            ddxv = tuple(scalar(params_ref, _P_DDX + q) for q in range(3))
+            ddyv = tuple(scalar(params_ref, _P_DDY + q) for q in range(3))
 
         def sub_block(sb, _):
             x = x0 + lx_pix
             y = y0 + (sb * ROWS_PER_SUB).astype(jnp.float32) + lrow
-            x2, y2, xy = x * x, y * y, x * y
+
+            if projective:
+                # per-pixel unnormalized direction + its length, once per
+                # sub-block; every candidate test reuses them.
+                dux = d0x + x * ddxv[0] + y * ddyv[0]
+                duy = d0y + x * ddxv[1] + y * ddyv[1]
+                duz = d0z + x * ddxv[2] + y * ddyv[2]
+                len2 = jnp.maximum(dux * dux + duy * duy + duz * duz, 1e-20)
+                inv_len = jax.lax.rsqrt(len2)
+                len_d = len2 * inv_len
+                tri_test = lambda off: tri_proj(tri_coef_ref, off, x, y, len_d)
+                sph_test = lambda off: sph_proj(sph_coef_ref, off, x, y, inv_len)
+            else:
+                x2, y2, xy = x * x, y * y, x * y
+                tri_test = lambda off: tri_affine(tri_coef_ref, off, x, y)
+                sph_test = lambda off: sph_affine(
+                    sph_coef_ref, off, x, y, x2, y2, xy
+                )
 
             best = (
                 jnp.full((1, TP), MISS_T, jnp.float32),
@@ -453,15 +655,11 @@ def _build_tiled_kernel(
             )
             if k_tri:
                 best = trace_type(
-                    tri_coef_ref, tri_attr_ref, cnt_tri,
-                    lambda off: tri_affine(tri_coef_ref, off, x, y),
-                    best,
+                    tri_coef_ref, tri_attr_ref, cnt_tri, tri_test, best
                 )
             if k_sph:
                 best = trace_type(
-                    sph_coef_ref, sph_attr_ref, cnt_sph,
-                    lambda off: sph_affine(sph_coef_ref, off, x, y, x2, y2, xy),
-                    best,
+                    sph_coef_ref, sph_attr_ref, cnt_sph, sph_test, best
                 )
             best_t, best_attr = best
 
@@ -483,9 +681,17 @@ def _build_tiled_kernel(
                 # occluder candidates (the layouts the tests want).
                 vis_list = []
                 if shadows:
-                    px = x + best_t * d0x      # origin (x, y, 0) + t*d
-                    py = y + best_t * d0y
-                    pz = best_t * d0z
+                    if projective:
+                        dn = (dux * inv_len, duy * inv_len, duz * inv_len)
+                        px = o0x + best_t * dn[0]   # p = o + t * unit dir
+                        py = o0y + best_t * dn[1]
+                        pz = o0z + best_t * dn[2]
+                        tri_args = ((o0x, o0y, o0z), dn, best_t)
+                    else:
+                        px = x + best_t * d0x      # origin (x, y, 0) + t*d
+                        py = y + best_t * d0y
+                        pz = best_t * d0z
+                        tri_args = (x, y, best_t, (d0x, d0y, d0z))
                     for li in range(n_lights):
                         base = _P_LIGHTS + li * _LIGHT_STRIDE
                         lpx, lpy, lpz = (
@@ -502,7 +708,7 @@ def _build_tiled_kernel(
                             tri_sh_ref, sph_sh_ref, li,
                             counts_ref[i, 2 + 2 * li],
                             counts_ref[i, 3 + 2 * li],
-                            x, y, best_t, (d0x, d0y, d0z),
+                            tri_args,
                             (px, py, pz), ld, dist,
                         ))
 
@@ -528,14 +734,34 @@ def _build_tiled_kernel(
                 is_sph8 = fold(best_attr[7:8])
                 vis8 = [fold(v) for v in vis_list]
 
-                px8 = x8 + t8 * d0x
-                py8 = y8 + t8 * d0y
-                pz8 = t8 * d0z
+                if projective:
+                    # folded per-pixel unit direction regenerates from iota
+                    du8x = d0x + x8 * ddxv[0] + y8 * ddyv[0]
+                    du8y = d0y + x8 * ddxv[1] + y8 * ddyv[1]
+                    du8z = d0z + x8 * ddxv[2] + y8 * ddyv[2]
+                    inv8 = jax.lax.rsqrt(jnp.maximum(
+                        du8x * du8x + du8y * du8y + du8z * du8z, 1e-20
+                    ))
+                    rdx, rdy, rdz = du8x * inv8, du8y * inv8, du8z * inv8
+                    px8 = o0x + t8 * rdx
+                    py8 = o0y + t8 * rdy
+                    pz8 = o0z + t8 * rdz
+                    vx, vy, vz = -rdx, -rdy, -rdz  # unit already
+                else:
+                    rdx, rdy, rdz = d0x, d0y, d0z
+                    px8 = x8 + t8 * d0x
+                    py8 = y8 + t8 * d0y
+                    pz8 = t8 * d0z
+                    # view dir is a per-frame scalar (shared camera direction)
+                    vinv = jax.lax.rsqrt(
+                        jnp.maximum(d0x * d0x + d0y * d0y + d0z * d0z, 1e-20)
+                    )
+                    vx, vy, vz = -d0x * vinv, -d0y * vinv, -d0z * vinv
                 nsx = (px8 - ax8) * irad8
                 nsy = (py8 - ay8) * irad8
                 nsz = (pz8 - az8) * irad8
                 flip = jnp.where(
-                    ax8 * d0x + ay8 * d0y + az8 * d0z > 0, -1.0, 1.0
+                    ax8 * rdx + ay8 * rdy + az8 * rdz > 0, -1.0, 1.0
                 )
                 nx = jnp.where(is_sph8 > 0.5, nsx, ax8 * flip)
                 ny = jnp.where(is_sph8 > 0.5, nsy, ay8 * flip)
@@ -544,11 +770,6 @@ def _build_tiled_kernel(
                     jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20)
                 )
                 nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
-                # view dir is a per-frame scalar (shared camera direction)
-                vinv = jax.lax.rsqrt(
-                    jnp.maximum(d0x * d0x + d0y * d0y + d0z * d0z, 1e-20)
-                )
-                vx, vy, vz = -d0x * vinv, -d0y * vinv, -d0z * vinv
 
                 ambient = scalar(params_ref, _P_AMBIENT)
                 spec_k = scalar(params_ref, _P_SPEC)
@@ -649,8 +870,8 @@ class TileBins:
     s_valid: jax.Array
     tri_attr_t: jax.Array  # (n_tiles, k_tri, 8)
     sph_attr_t: jax.Array  # (n_tiles, k_sph, 8)
-    tri_sh_t: jax.Array    # (n_tiles, L*k_sh_tri, 16) frustum planes
-    sph_sh_t: jax.Array    # (n_tiles, L*k_sh_sph, 16) occluder rows
+    tri_sh_t: jax.Array    # (n_tiles | 1, L*k_sh_tri, 16) frustum planes
+    sph_sh_t: jax.Array    # (n_tiles | 1, L*k_sh_sph, 16) occluder rows
     counts: jax.Array      # (n_tiles, 2 + 2L) int32
     overflow: jax.Array    # () bool
     k_tri: int = _dc.field(metadata=dict(static=True), default=0)
@@ -659,20 +880,34 @@ class TileBins:
     k_sh_sph: int = _dc.field(metadata=dict(static=True), default=0)
     nty: int = _dc.field(metadata=dict(static=True), default=0)
     ntx: int = _dc.field(metadata=dict(static=True), default=0)
+    # pinhole bins: perspective bboxes, shared full shadow tables. A
+    # projective bins object only renders with a normalize camera (and
+    # vice versa); _render_tiled_jit enforces the match.
+    projective: bool = _dc.field(metadata=dict(static=True), default=False)
 
 
 @functools.partial(
     jax.jit, static_argnames=("height", "width", "k", "shadows", "shadow_k")
 )
 def bin_scene(packed, *, height: int, width: int, k: int = 32,
-              shadows: bool = False, shadow_k: int = 64) -> TileBins:
-    """Scene-static tile binning (primary + shadow candidate lists)."""
+              shadows: bool = False, shadow_k: int = 64,
+              camera: Optional[Camera] = None) -> TileBins:
+    """Tile binning (primary + shadow candidate lists).
+
+    Without `camera` (or with a shared-direction one): scene-static ortho
+    binning, reusable across frames/cameras. With a normalize (pinhole)
+    `camera`: perspective screen-space bboxes — the bins then depend on the
+    camera pose and must be recomputed when it moves."""
+    projective = camera is not None and camera.normalize
     nty = _round_up(height, TILE_H) // TILE_H
     ntx = _round_up(width, TILE_W) // TILE_W
     n_tiles = nty * ntx
     n_lights = packed.lights.position.shape[0]
     _, tri_attr, _, sph_attr = _prep_scene_arrays(packed)
-    tri_box, sph_box = _prim_bboxes(packed)
+    if projective:
+        tri_box, sph_box = _pinhole_bboxes(packed, camera)
+    else:
+        tri_box, sph_box = _prim_bboxes(packed)
 
     k_tri = (
         min(k, _round_up(max(packed.n_tris, 1), CHUNK)) if packed.n_tris else 0
@@ -707,36 +942,69 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
         sph_attr_t = jnp.zeros((n_tiles, CHUNK, 8), jnp.float32)
         cnt_sph = zero_cnt
 
-    k_sh_tri = (
-        min(shadow_k, _round_up(packed.n_tris, CHUNK))
-        if (shadows and packed.n_tris) else 0
-    )
-    k_sh_sph = (
-        min(shadow_k, _round_up(packed.n_spheres, CHUNK))
-        if (shadows and packed.n_spheres) else 0
-    )
+    # Shadow candidate tables. Ortho: per-(light, tile) corridor binning.
+    # Pinhole: shadow rays fan out from hit points anywhere in the tile's
+    # view frustum toward the light, so no screen-space corridor bounds the
+    # occluder set (an occluder between surface and light need not be
+    # visible in the tile at all). Shadow candidates are then the FULL
+    # primitive set, stored ONCE and shared by every tile (the kernel's
+    # shadow block specs pin to block 0). Primary-ray culling is unaffected;
+    # the perf-critical legacy pinhole mode has no shadows.
+    sh_tiles = 1 if projective else n_tiles
+    if projective:
+        k_sh_tri = packed.padded_tris if (shadows and packed.n_tris) else 0
+        k_sh_sph = packed.padded_spheres if (shadows and packed.n_spheres) else 0
+    else:
+        k_sh_tri = (
+            min(shadow_k, _round_up(packed.n_tris, CHUNK))
+            if (shadows and packed.n_tris) else 0
+        )
+        k_sh_sph = (
+            min(shadow_k, _round_up(packed.n_spheres, CHUNK))
+            if (shadows and packed.n_spheres) else 0
+        )
     lpos = packed.lights.position
     if k_sh_tri:
-        tri_sh_t, cnt_sh_tri, over = _shadow_tables(
-            lambda li: _tri_shadow_planes(packed, lpos[li]),
-            tri_box, packed.n_tris, nty, ntx, k_sh_tri, lpos, _NULL_SH_TRI,
-        )
-        overflow |= over
+        if projective:
+            planes = jnp.stack(
+                [_tri_shadow_planes(packed, lpos[li]) for li in range(n_lights)]
+            )  # (L, Tp, 16); padded tris have degenerate rows (c = -1e9)
+            tri_sh_t = planes.reshape(1, n_lights * k_sh_tri, 16)
+            cnt_sh_tri = jnp.full((n_tiles, n_lights), packed.n_tris, jnp.int32)
+        else:
+            tri_sh_t, cnt_sh_tri, over = _shadow_tables(
+                lambda li: _tri_shadow_planes(packed, lpos[li]),
+                tri_box, packed.n_tris, nty, ntx, k_sh_tri, lpos, _NULL_SH_TRI,
+            )
+            overflow |= over
     else:
         tri_sh_t = jnp.broadcast_to(
-            _NULL_SH_TRI, (n_tiles, n_lights * CHUNK, 16)
+            _NULL_SH_TRI, (sh_tiles, n_lights * CHUNK, 16)
         )
         cnt_sh_tri = jnp.zeros((n_tiles, n_lights), jnp.int32)
     if k_sh_sph:
         sph_rows = _sph_shadow_rows(packed)
-        sph_sh_t, cnt_sh_sph, over = _shadow_tables(
-            lambda li: sph_rows,
-            sph_box, packed.n_spheres, nty, ntx, k_sh_sph, lpos, _NULL_SH_SPH,
-        )
-        overflow |= over
+        if projective:
+            # null the padded slots (zero-radius spheres at the origin could
+            # false-occlude a ray passing exactly through it)
+            real = jnp.arange(packed.padded_spheres) < packed.n_spheres
+            sph_rows = jnp.where(real[:, None], sph_rows, _NULL_SH_SPH)
+            sph_sh_t = jnp.broadcast_to(
+                sph_rows, (n_lights, k_sh_sph, 16)
+            ).reshape(1, n_lights * k_sh_sph, 16)
+            cnt_sh_sph = jnp.full(
+                (n_tiles, n_lights), packed.n_spheres, jnp.int32
+            )
+        else:
+            sph_sh_t, cnt_sh_sph, over = _shadow_tables(
+                lambda li: sph_rows,
+                sph_box, packed.n_spheres, nty, ntx, k_sh_sph, lpos,
+                _NULL_SH_SPH,
+            )
+            overflow |= over
     else:
         sph_sh_t = jnp.broadcast_to(
-            _NULL_SH_SPH, (n_tiles, n_lights * CHUNK, 16)
+            _NULL_SH_SPH, (sh_tiles, n_lights * CHUNK, 16)
         )
         cnt_sh_sph = jnp.zeros((n_tiles, n_lights), jnp.int32)
 
@@ -754,7 +1022,7 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
         tri_sh_t=tri_sh_t, sph_sh_t=sph_sh_t, counts=counts,
         overflow=overflow,
         k_tri=k_tri, k_sph=k_sph, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
-        nty=nty, ntx=ntx,
+        nty=nty, ntx=ntx, projective=projective,
     )
 
 
@@ -790,22 +1058,37 @@ def _render_tiled_jit(
 ):
     from opencl_ray_tracer_tpu.kernels.fwd import _render_pallas_jit
 
+    projective = camera.normalize
+    if bins.projective != projective:
+        raise ValueError(
+            "TileBins/camera mismatch: pinhole cameras need bins computed "
+            "with bin_scene(..., camera=camera)"
+        )
     nty, ntx = bins.nty, bins.ntx
     n_tiles = nty * ntx
 
-    tri_coef, sph_coef = _prep_affine_coefs(packed, camera)
+    if projective:
+        tri_coef, sph_coef = _prep_projective_coefs(packed, camera)
+        null_tri, null_sph = _NULL_TRI_PROJ, _NULL_SPH_PROJ
+    else:
+        tri_coef, sph_coef = _prep_affine_coefs(packed, camera)
+        null_tri, null_sph = _NULL_TRI, _NULL_SPH
     if bins.k_tri:
-        tri_coef_t = _gather_coefs(tri_coef, bins.t_idx, bins.t_valid, _NULL_TRI)
+        tri_coef_t = _gather_coefs(tri_coef, bins.t_idx, bins.t_valid, null_tri)
     else:
         tri_coef_t = jnp.broadcast_to(
-            jnp.concatenate([_NULL_TRI, jnp.zeros(7)]).astype(jnp.float32),
+            jnp.concatenate(
+                [null_tri, jnp.zeros(16 - null_tri.shape[0])]
+            ).astype(jnp.float32),
             (n_tiles, CHUNK, 16),
         )
     if bins.k_sph:
-        sph_coef_t = _gather_coefs(sph_coef, bins.s_idx, bins.s_valid, _NULL_SPH)
+        sph_coef_t = _gather_coefs(sph_coef, bins.s_idx, bins.s_valid, null_sph)
     else:
         sph_coef_t = jnp.broadcast_to(
-            jnp.concatenate([_NULL_SPH, jnp.zeros(6)]).astype(jnp.float32),
+            jnp.concatenate(
+                [null_sph, jnp.zeros(16 - null_sph.shape[0])]
+            ).astype(jnp.float32),
             (n_tiles, CHUNK, 16),
         )
 
@@ -821,6 +1104,7 @@ def _render_tiled_jit(
         n_lights=n_lights,
         shading=shading,
         shadows=shadows,
+        projective=projective,
     )
 
     def tiled_render(operands):
@@ -828,6 +1112,12 @@ def _render_tiled_jit(
         tile3 = lambda shape: pl.BlockSpec(
             (1,) + shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         )
+        # projective shadow tables are shared by all tiles: pin to block 0
+        # (the pipeline keeps a revisited block resident — no per-tile DMA).
+        shared3 = lambda shape: pl.BlockSpec(
+            (1,) + shape[1:], lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        sh_spec = shared3 if projective else tile3
         # Output rows are channel-major folded: row c*N_SUB*8 + sb*8 + s of
         # a tile holds channel c pixels [sb*SUB_PIX + s*FT, +FT).
         ft = SUB_PIX // 8
@@ -844,8 +1134,8 @@ def _render_tiled_jit(
                 tile3(ta.shape),
                 tile3(sc.shape),
                 tile3(sa.shape),
-                tile3(tsh.shape),
-                tile3(ssh.shape),
+                sh_spec(tsh.shape),
+                sh_spec(ssh.shape),
             ],
             out_specs=pl.BlockSpec(
                 (1, 4 * N_SUB * 8, ft), lambda i: (i, 0, 0),
@@ -869,7 +1159,7 @@ def _render_tiled_jit(
             width=width,
             shading=shading,
             shadows=shadows,
-            normalize_dir=False,
+            normalize_dir=camera.normalize,
             as_int=False,
             interpret=interpret,
         )  # (H, W, 4) float
@@ -904,13 +1194,15 @@ def render_tiled_packed(
     interpret: Optional[bool] = None,
     bins: Optional[TileBins] = None,
 ) -> jax.Array:
-    """Tiled+culled render (shared-direction cameras only).
+    """Tiled+culled render.
 
-    Pass precomputed `bins` (from bin_scene) for hot loops where the scene
-    is fixed and only the camera moves — binning is the expensive per-frame
-    XLA work otherwise (~1.5 ms at 1080p)."""
-    if camera.normalize:
-        raise ValueError("tiled kernel requires a shared-direction camera")
+    Supports both camera families: shared-direction (legacy ortho) and
+    shared-origin pinhole (`normalize` cameras, whose origin derivatives dox
+    and doy must be zero — the only normalize cameras this framework
+    constructs). Pass precomputed `bins` (from bin_scene) for hot loops
+    where the scene is fixed — binning is the expensive per-frame XLA work
+    otherwise (~1.5 ms at 1080p). Ortho bins are camera-independent; pinhole
+    bins depend on the camera pose and must be recomputed when it moves."""
     if interpret is None:
         interpret = _use_interpret()
     if bins is None:
@@ -921,6 +1213,7 @@ def render_tiled_packed(
             k=config.cull_k,
             shadows=config.shadows,
             shadow_k=config.shadow_cull_k,
+            camera=camera if camera.normalize else None,
         )
     return _render_tiled_jit(
         packed,

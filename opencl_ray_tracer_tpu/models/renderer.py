@@ -54,15 +54,12 @@ def render(
 
         return render_xla(scene, camera, config)
     if b == Backend.PALLAS:
-        # shared-direction cameras take the tiled+culled kernel; per-pixel
-        # direction cameras the brute megakernel.
-        if camera.shared_dir:
-            from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled
+        # Both camera families take the tiled+culled kernel (affine fast
+        # path for shared-direction, projective for pinhole). The brute
+        # megakernel remains the overflow fallback inside render_tiled.
+        from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled
 
-            return render_tiled(scene, camera, config)
-        from opencl_ray_tracer_tpu.kernels import render_pallas
-
-        return render_pallas(scene, camera, config)
+        return render_tiled(scene, camera, config)
     raise ValueError(f"unknown backend {b}")
 
 
