@@ -81,7 +81,10 @@ def _sphere_soft_planar(o, d, scene, tau_e):
     beta = jnp.maximum(tau_e, 1e-3) * jnp.maximum(2.0 * r, 1e-6)
     thc = jnp.sqrt(beta * jax.nn.softplus(q / beta) + 1e-12)
     t = tca - thc
-    inv_r = 1.0 / jnp.maximum(r, 1e-20)
+    # guarded reciprocal: 1/max(r, eps) has an f32-inf derivative at the
+    # zero-radius padded slots, which poisons sph_radius grads with NaN.
+    rpos = r > 0
+    inv_r = jnp.where(rpos, 1.0 / jnp.where(rpos, r, 1.0), 0.0)
     nx = (ox + t * dx - cx) * inv_r
     ny = (oy + t * dy - cy) * inv_r
     nz = (oz + t * dz - cz) * inv_r

@@ -54,6 +54,7 @@ import functools
 from typing import Optional
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -245,7 +246,7 @@ def _prep_projective_coefs(packed, camera: Camera):
     return tri_coef, sph_coef
 
 
-def _bin_prims(box, n_real, nty, ntx, k, light_xy=None):
+def _bin_prims(box, n_real, nty, ntx, k, light_xy=None, offs=None):
     """(tiles x prims) overlap -> per-tile top-k candidate indices.
 
     With light_xy=(lx, ly), tiles are expanded to the bbox of the
@@ -254,12 +255,17 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None):
     xy-bbox overlaps bbox(tile_rect ∪ light_xy) — the conservative
     shadow-candidate test.
 
+    offs=(x_off, y_off) shifts the tile rects into WORLD coordinates for
+    shifted ortho cameras (the shard_map camera-shift trick: shard i's local
+    pixel row 0 is world row o0.y).
+
     Returns idx (n_tiles, k) int32, valid (n_tiles, k) bool,
     count (n_tiles,) int32 (clamped to k), overflow ()."""
     x0, x1, y0, y1 = box
     p = x0.shape[0]
-    tx0 = (jnp.arange(ntx, dtype=jnp.float32) * TILE_W)[None, :, None]
-    ty0 = (jnp.arange(nty, dtype=jnp.float32) * TILE_H)[:, None, None]
+    x_off, y_off = offs if offs is not None else (0.0, 0.0)
+    tx0 = (jnp.arange(ntx, dtype=jnp.float32) * TILE_W)[None, :, None] + x_off
+    ty0 = (jnp.arange(nty, dtype=jnp.float32) * TILE_H)[:, None, None] + y_off
     tx1 = tx0 + TILE_W
     ty1 = ty0 + TILE_H
     if light_xy is not None:
@@ -289,15 +295,15 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None):
 
 
 # null coefficient columns: guarantee "never valid" in the kernel tests.
-_NULL_TRI = jnp.array(
-    [-1e9, 0, 0, -1e9, 0, 0, 0, 0, 0], jnp.float32
+_NULL_TRI = np.array(
+    [-1e9, 0, 0, -1e9, 0, 0, 0, 0, 0], np.float32
 )  # u0 = v0 = -1e9
-_NULL_SPH = jnp.array(
-    [-1e9, 0, 0, 1e9, 0, 0, 0, 0, 0, -1.0], jnp.float32
+_NULL_SPH = np.array(
+    [-1e9, 0, 0, 1e9, 0, 0, 0, 0, 0, -1.0], np.float32
 )  # tca < 0 and r2 < 0 and d2 huge
 # projective nulls: det == 0 fails |det| >= eps*|d|; tca < 0 fails tca >= 0.
-_NULL_TRI_PROJ = jnp.zeros((10,), jnp.float32)
-_NULL_SPH_PROJ = jnp.array([-1e9, 0, 0, 0, -1.0], jnp.float32)
+_NULL_TRI_PROJ = np.zeros((10,), np.float32)
+_NULL_SPH_PROJ = np.array([-1e9, 0, 0, 0, -1.0], np.float32)
 
 
 def _tri_shadow_planes(packed, lpos):
@@ -358,16 +364,16 @@ def _sph_shadow_rows(packed):
 
 
 # null shadow rows: tri planes all fail (c = -1e9); spheres at z=+1e9, r2=0.
-_NULL_SH_TRI = jnp.array(
-    [0, 0, 0, -1e9, 0, 0, 0, -1e9, 0, 0, 0, -1e9, 0, 0, 0, -1e9], jnp.float32
+_NULL_SH_TRI = np.array(
+    [0, 0, 0, -1e9, 0, 0, 0, -1e9, 0, 0, 0, -1e9, 0, 0, 0, -1e9], np.float32
 )
-_NULL_SH_SPH = jnp.array(
-    [0, 0, 1e9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], jnp.float32
+_NULL_SH_SPH = np.array(
+    [0, 0, 1e9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.float32
 )
 
 
 def _shadow_tables(rows_per_light, box, n_real, nty, ntx, k, lights_pos,
-                   null_row):
+                   null_row, offs=None):
     """Per-(light, tile) shadow-candidate tables, flattened to 3-D
     (n_tiles, L*k, 16) — light li owns candidate rows [li*k, (li+1)*k).
     (4-D block refs made Mosaic compiles pathologically slow.)
@@ -379,7 +385,7 @@ def _shadow_tables(rows_per_light, box, n_real, nty, ntx, k, lights_pos,
     for li in range(lights_pos.shape[0]):
         idx, valid, count, over = _bin_prims(
             box, n_real, nty, ntx, k,
-            light_xy=(lights_pos[li, 0], lights_pos[li, 1]),
+            light_xy=(lights_pos[li, 0], lights_pos[li, 1]), offs=offs,
         )
         g = rows_per_light(li)[idx]                    # (n_tiles, k, 16)
         g = jnp.where(valid[..., None], g, null_row)
@@ -520,13 +526,15 @@ def _build_tiled_kernel(
     # Triangles: light-frustum plane tests, affine in (x, y, t) because
     # p = (x + t*d0x, y + t*d0y, t*d0z). Spheres: geometric segment test
     # along the (already computed) unit light direction.
-    def tri_sh_chunk(ref, li, off, x, y, t, d0):
+    def tri_sh_chunk(ref, li, off, x, y, t, d0, o0c):
         d0x, d0y, d0z = d0
+        o0x, o0y, o0z = o0c
         occ_c = None
         for pi in range(4):
             mx, my, mz, cc = cols(ref, li * k_sh_tri + off, range(4 * pi, 4 * pi + 4))
             md = mx * d0x + my * d0y + mz * d0z      # (CHUNK, 1) column math
-            s = cc + mx * x + my * y + md * t
+            # p = o0 + (x, y, 0) + t*d: fold m.o0 into the plane offset
+            s = (cc + mx * o0x + my * o0y + mz * o0z) + mx * x + my * y + md * t
             eps = _SH_PLANE_EPS if pi == 3 else 0.0
             cond = s >= eps
             occ_c = cond if occ_c is None else (occ_c & cond)
@@ -576,9 +584,9 @@ def _build_tiled_kernel(
                         tri_sh_ref, li, c * CHUNK, o0c, dn, t
                     )
                 else:
-                    x, y, t, d0 = tri_args
+                    x, y, t, d0, o0c = tri_args
                     blocked = tri_sh_chunk(
-                        tri_sh_ref, li, c * CHUNK, x, y, t, d0
+                        tri_sh_ref, li, c * CHUNK, x, y, t, d0, o0c
                     )
                 clear = ~jnp.any(blocked, axis=0, keepdims=True)
                 return vis * clear.astype(jnp.float32)
@@ -622,8 +630,8 @@ def _build_tiled_kernel(
         lrow = (lane // TILE_W).astype(jnp.float32)
 
         d0x, d0y, d0z = (scalar(params_ref, _P_D0 + q) for q in range(3))
+        o0x, o0y, o0z = (scalar(params_ref, _P_O0 + q) for q in range(3))
         if projective:
-            o0x, o0y, o0z = (scalar(params_ref, _P_O0 + q) for q in range(3))
             ddxv = tuple(scalar(params_ref, _P_DDX + q) for q in range(3))
             ddyv = tuple(scalar(params_ref, _P_DDY + q) for q in range(3))
 
@@ -688,10 +696,14 @@ def _build_tiled_kernel(
                         pz = o0z + best_t * dn[2]
                         tri_args = ((o0x, o0y, o0z), dn, best_t)
                     else:
-                        px = x + best_t * d0x      # origin (x, y, 0) + t*d
-                        py = y + best_t * d0y
-                        pz = best_t * d0z
-                        tri_args = (x, y, best_t, (d0x, d0y, d0z))
+                        # origin o0 + (x, y, 0) + t*d (o0 is the row-shard
+                        # shift under sharded cameras; zero for the base)
+                        px = o0x + x + best_t * d0x
+                        py = o0y + y + best_t * d0y
+                        pz = o0z + best_t * d0z
+                        tri_args = (
+                            x, y, best_t, (d0x, d0y, d0z), (o0x, o0y, o0z)
+                        )
                     for li in range(n_lights):
                         base = _P_LIGHTS + li * _LIGHT_STRIDE
                         lpx, lpy, lpz = (
@@ -749,9 +761,9 @@ def _build_tiled_kernel(
                     vx, vy, vz = -rdx, -rdy, -rdz  # unit already
                 else:
                     rdx, rdy, rdz = d0x, d0y, d0z
-                    px8 = x8 + t8 * d0x
-                    py8 = y8 + t8 * d0y
-                    pz8 = t8 * d0z
+                    px8 = o0x + x8 + t8 * d0x
+                    py8 = o0y + y8 + t8 * d0y
+                    pz8 = o0z + t8 * d0z
                     # view dir is a per-frame scalar (shared camera direction)
                     vinv = jax.lax.rsqrt(
                         jnp.maximum(d0x * d0x + d0y * d0y + d0z * d0z, 1e-20)
@@ -897,8 +909,17 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
     Without `camera` (or with a shared-direction one): scene-static ortho
     binning, reusable across frames/cameras. With a normalize (pinhole)
     `camera`: perspective screen-space bboxes — the bins then depend on the
-    camera pose and must be recomputed when it moves."""
+    camera pose and must be recomputed when it moves.
+
+    Shared-direction cameras contribute only their origin OFFSET (o0.xy):
+    tile rects shift into world coordinates, which is what makes the
+    shard_map camera-shift trick bin correctly per row shard. (The ortho
+    binning assumes the legacy image-space convention dox = x, doy = y.)"""
     projective = camera is not None and camera.normalize
+    offs = (
+        (camera.o0[0], camera.o0[1])
+        if (camera is not None and not projective) else None
+    )
     nty = _round_up(height, TILE_H) // TILE_H
     ntx = _round_up(width, TILE_W) // TILE_W
     n_tiles = nty * ntx
@@ -921,7 +942,7 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
     zero_cnt = jnp.zeros((n_tiles,), jnp.int32)
     if k_tri:
         t_idx, t_valid, cnt_tri, over = _bin_prims(
-            tri_box, packed.n_tris, nty, ntx, k_tri
+            tri_box, packed.n_tris, nty, ntx, k_tri, offs=offs
         )
         overflow |= over
         tri_attr_t = jnp.where(t_valid[..., None], tri_attr[t_idx], 0.0)
@@ -932,7 +953,7 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
         cnt_tri = zero_cnt
     if k_sph:
         s_idx, s_valid, cnt_sph, over = _bin_prims(
-            sph_box, packed.n_spheres, nty, ntx, k_sph
+            sph_box, packed.n_spheres, nty, ntx, k_sph, offs=offs
         )
         overflow |= over
         sph_attr_t = jnp.where(s_valid[..., None], sph_attr[s_idx], 0.0)
@@ -975,6 +996,7 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
             tri_sh_t, cnt_sh_tri, over = _shadow_tables(
                 lambda li: _tri_shadow_planes(packed, lpos[li]),
                 tri_box, packed.n_tris, nty, ntx, k_sh_tri, lpos, _NULL_SH_TRI,
+                offs=offs,
             )
             overflow |= over
     else:
@@ -999,7 +1021,7 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
             sph_sh_t, cnt_sh_sph, over = _shadow_tables(
                 lambda li: sph_rows,
                 sph_box, packed.n_spheres, nty, ntx, k_sh_sph, lpos,
-                _NULL_SH_SPH,
+                _NULL_SH_SPH, offs=offs,
             )
             overflow |= over
     else:
@@ -1201,20 +1223,44 @@ def render_tiled_packed(
     and doy must be zero — the only normalize cameras this framework
     constructs). Pass precomputed `bins` (from bin_scene) for hot loops
     where the scene is fixed — binning is the expensive per-frame XLA work
-    otherwise (~1.5 ms at 1080p). Ortho bins are camera-independent; pinhole
-    bins depend on the camera pose and must be recomputed when it moves."""
+    otherwise (~1.5 ms at 1080p). Ortho bins depend on the camera only
+    through its origin offset; pinhole bins depend on the full pose.
+
+    Overflow policy: when called EAGERLY (outside jit), a tile exceeding
+    cull_k auto-escalates — binning retries with doubled K until every
+    candidate fits (cost grows ~2x per doubling, bounded by the primitive
+    count), avoiding the ~10x whole-frame brute cliff. Under jit the
+    overflow flag is traced, so the lax.cond brute fallback applies instead
+    (never silently wrong either way)."""
     if interpret is None:
         interpret = _use_interpret()
     if bins is None:
-        bins = bin_scene(
-            packed,
-            height=config.height,
-            width=config.width,
-            k=config.cull_k,
-            shadows=config.shadows,
-            shadow_k=config.shadow_cull_k,
-            camera=camera if camera.normalize else None,
-        )
+        k, shadow_k = config.cull_k, config.shadow_cull_k
+
+        def make(k_, sk_):
+            return bin_scene(
+                packed,
+                height=config.height,
+                width=config.width,
+                k=k_,
+                shadows=config.shadows,
+                shadow_k=sk_,
+                camera=camera,
+            )
+
+        bins = make(k, shadow_k)
+        k_max = _round_up(max(packed.n_tris, packed.n_spheres, 1), CHUNK)
+        if not isinstance(bins.overflow, jax.core.Tracer):
+            while bool(bins.overflow) and max(k, shadow_k) < k_max:
+                k = min(2 * k, k_max)
+                shadow_k = min(2 * shadow_k, k_max)
+                from opencl_ray_tracer_tpu.utils.log import log_warning
+
+                log_warning(
+                    "tile candidate overflow: re-binning with cull_k=%d "
+                    "shadow_cull_k=%d", k, shadow_k,
+                )
+                bins = make(k, shadow_k)
     return _render_tiled_jit(
         packed,
         camera,

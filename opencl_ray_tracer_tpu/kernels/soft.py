@@ -178,7 +178,10 @@ def _sph_chunk_soft(sph_geo, c, o, d, tau_e):
     beta = jnp.maximum(tau_e, 1e-3) * jnp.maximum(2.0 * r, 1e-6)
     thc = jnp.sqrt(beta * jax.nn.softplus(q / beta) + 1e-12)
     t = tca - thc
-    rinv = 1.0 / jnp.maximum(r, 1e-20)
+    # guarded reciprocal: 1/max(r, eps) has an f32-inf derivative at the
+    # zero-radius padded slots, which poisons sph_radius grads with NaN.
+    rpos = r > 0
+    rinv = jnp.where(rpos, 1.0 / jnp.where(rpos, r, 1.0), 0.0)
     nx = (ox + t * dx - cx) * rinv
     ny = (oy + t * dy - cy) * rinv
     nz = (oz + t * dz - cz) * rinv
@@ -425,14 +428,28 @@ def _tile_soft_math(
     )
 
 
+def _safe_norm_rows(v):
+    """Row norms with ZERO gradient at exactly-zero rows (padded prims).
+    jnp.linalg.norm / sqrt(max(x, eps)) both have inf/NaN derivatives at 0,
+    which poison the padded lanes of scene-parameter gradients."""
+    s2 = jnp.sum(v * v, axis=-1)
+    pos = s2 > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, s2, 1.0)), 0.0)
+
+
+def _safe_unit_rows(v):
+    mag = _safe_norm_rows(v)[..., None]
+    pos = mag > 0
+    return jnp.where(pos, v / jnp.where(pos, mag, 1.0), 0.0)
+
+
 def _prep_soft_arrays(packed):
     """tri geometry (14, Tp): v0, e1, e2, |e1|, |e2|, unit normal;
     tri albedo (Tp, 8); spheres (4, Sp) + albedo (Sp, 8)."""
     e1t, e2t = packed.tri_e1.T, packed.tri_e2.T
-    s1 = jnp.linalg.norm(e1t, axis=-1)
-    s2 = jnp.linalg.norm(e2t, axis=-1)
-    n = jnp.cross(e1t, e2t)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    s1 = _safe_norm_rows(e1t)
+    s2 = _safe_norm_rows(e2t)
+    n = _safe_unit_rows(jnp.cross(e1t, e2t))
     tri_geo = jnp.concatenate(
         [
             packed.tri_v0, packed.tri_e1, packed.tri_e2,
@@ -685,9 +702,17 @@ def render_soft_pallas(
 
     All shading modes run natively (legacy / lambert / phong, soft shadows
     when config.shadows — no silent downgrades). Output float32 (H, W, 4),
-    0..255 domain."""
+    0..255 domain.
+
+    Shared-direction cameras route to the tiled+culled soft kernels
+    (kernels/soft_tiled.py — the fast path); pinhole cameras run the brute
+    streaming kernels in this module."""
     if interpret is None:
         interpret = _use_interpret()
+    if camera.shared_dir:
+        from opencl_ray_tracer_tpu.kernels.soft_tiled import render_soft_tiled
+
+        return render_soft_tiled(scene, camera, config, interpret=interpret)
     return _soft_render_core(
         scene.pack(),
         camera,

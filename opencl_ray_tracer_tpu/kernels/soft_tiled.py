@@ -1,0 +1,1064 @@
+"""Tiled+culled Pallas kernels for the SOFT differentiable renderer, fwd+bwd.
+
+The brute soft kernel (kernels/soft.py) pads every primitive type to
+128-wide lane chunks, so a 22-primitive scene pays 256 slots per pixel per
+pass (twice with shadows) — measured 41.9 ms fwd / 199.7 ms fwd+bwd at 1080p
+phong+shadows on v5e. This module is the soft analogue of the hard path's
+tiled kernel (fwd_tiled.py): per-tile candidate culling plus the transposed
+layout (primitives on SUBLANES in 8-granular chunks, pixels on LANES), so
+small scenes pay for what they contain.
+
+Design (shared-direction cameras — the legacy ortho family):
+
+1. BINNING (XLA): primitive screen bboxes padded by SOFT_CULL_SIGMAS *
+   tau_edge — beyond ~16 sigma the coverage sigmoids underflow to exact f32
+   zero, so culling is invisible in both the image and the gradients.
+   Shadow candidates use the tile->light corridor bbox (fwd_tiled._bin_prims)
+   with the same pad. Any tile over K falls back to the brute soft kernel
+   for the frame via lax.cond (never silently wrong).
+2. TABLES (XLA, differentiable): per-tile gathered coefficient tables.
+   The primary pass uses AFFINE coefficients (fwd.py _prep_affine_coefs):
+   with a shared direction, Möller–Trumbore's u, v, t and the sphere's
+   tca / d^2 are affine/quadratic in pixel coords — and the soft pipeline's
+   sigmoids consume u, v, 1-u-v and the sphere margin DIRECTLY, so the
+   whole soft intersection is FMA + sigmoid. Per-primitive sigmoid scales
+   (|e1|/tau_e etc.) are baked into the tables. Triangle normals are
+   pre-flipped against the shared direction at gather time. The shadow pass
+   keeps geometric rows (v0/e1/e2) because shadow rays have per-pixel
+   directions. Because the gather is pure jnp, its jax.vjp IS the
+   scatter-add from per-tile gradient tables back to scene parameters.
+3. FORWARD kernel: grid (n_tiles, N_SUB); streaming softmin over candidate
+   chunks exactly as kernels/soft.py's _tile_soft_math (same formulas — the
+   jnp twin in diff/soft.py remains the independent oracle), but with (8,
+   SUB_PIX) full-width VPU ops and the albedo+normal aggregation as one
+   (8, 8) x (8, SUB_PIX) MXU matmul per chunk.
+4. BACKWARD kernel: recompute-based in-kernel jax.vjp of the SAME tile
+   function (single source of truth). Static-K chunk loops keep the tile
+   function reverse-differentiable (null candidate rows contribute exact
+   zeros, so static masked loops == ragged skipping bit-for-bit). Gradients
+   land in PER-TILE table blocks — each grid step owns its tile's block, so
+   there is no cross-tile accumulation in VMEM and XLA performs the final
+   scatter-add via the gather's vjp outside the kernel. Camera/light/tau
+   grads are per-tile rows summed outside.
+
+Reference anchor: the device hot loop this differentiates is the TPU
+re-design of resources/shaders/rayTracer.cl:111-202 (SURVEY.md §2 #1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencl_ray_tracer_tpu.camera import Camera
+from opencl_ray_tracer_tpu.config import RenderConfig
+from opencl_ray_tracer_tpu.diff.soft import SHADOW_OFFSET, SHADOW_T_MIN
+from opencl_ray_tracer_tpu.kernels.fwd import (
+    _LIGHT_STRIDE,
+    _P_AMBIENT,
+    _P_D0,
+    _P_DOX,
+    _P_DOY,
+    _P_LIGHTS,
+    _P_O0,
+    _P_SHINE,
+    _P_SPEC,
+    _camera_params,
+    _prep_affine_coefs,
+    _use_interpret,
+)
+from opencl_ray_tracer_tpu.kernels.fwd_tiled import (
+    TILE_H,
+    TILE_PIX,
+    TILE_W,
+    _bin_prims,
+    _prim_bboxes,
+    _round_up,
+)
+from opencl_ray_tracer_tpu.kernels.soft import NEG_BIG, VMEM_LIMIT_BYTES
+from opencl_ray_tracer_tpu.ops.intersect import EPSILON
+from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
+
+CH = 8                 # primitives per sublane chunk
+SUB_PIX_FWD = 2048     # lane width per inner iteration (fwd)
+SUB_PIX_BWD = 2048     # bwd tile width: vjp residuals fit the 100MB VMEM budget
+# Coverage sigmoids are exp-small this many tau_edge units outside a
+# primitive; 16 sigma => sigmoid ~ 1.1e-7, below visibility in a 0..255
+# image and below the 1e-4 gradient tolerance.
+SOFT_CULL_SIGMAS = 16.0
+
+
+def _dot_attr(attr_chunk, e):
+    """(CH, 8) attrs x (CH, TP) weights -> (8, TP) on the MXU, exact."""
+    return jax.lax.dot_general(
+        attr_chunk,
+        e,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Binning + per-frame gathered tables
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SoftBins:
+    """Candidate index lists for the tiled soft kernels. Depends on the
+    scene, tau_edge (bbox pad) and the camera's ORIGIN OFFSET (row-shard
+    shift); shared-dir only."""
+
+    t_idx: jax.Array      # (n_tiles, k_tri) int32
+    t_valid: jax.Array
+    s_idx: jax.Array      # (n_tiles, k_sph)
+    s_valid: jax.Array
+    tsh_idx: jax.Array    # (L, n_tiles, k_sh_tri)
+    tsh_valid: jax.Array
+    ssh_idx: jax.Array    # (L, n_tiles, k_sh_sph)
+    ssh_valid: jax.Array
+    counts: jax.Array     # (n_tiles, 2) int32: primary tri/sph candidates
+    overflow: jax.Array   # () bool
+    k_tri: int = dataclasses.field(metadata=dict(static=True), default=0)
+    k_sph: int = dataclasses.field(metadata=dict(static=True), default=0)
+    k_sh_tri: int = dataclasses.field(metadata=dict(static=True), default=0)
+    k_sh_sph: int = dataclasses.field(metadata=dict(static=True), default=0)
+    nty: int = dataclasses.field(metadata=dict(static=True), default=0)
+    ntx: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+
+def _pad_box(box, pad):
+    x0, x1, y0, y1 = box
+    return (x0 - pad, x1 + pad, y0 - pad, y1 + pad)
+
+
+def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
+              shadow_k):
+    """Tile binning with tau-padded bboxes. Pure jnp (tau_e may be traced);
+    the caller stop-gradients the result (culling is a discrete choice).
+    The camera contributes its origin offset (o0.xy): tile rects shift into
+    world coordinates so the shard_map camera-shift trick bins correctly
+    per row shard."""
+    offs = (camera.o0[0], camera.o0[1])
+    nty = _round_up(height, TILE_H) // TILE_H
+    ntx = _round_up(width, TILE_W) // TILE_W
+    n_tiles = nty * ntx
+    n_lights = packed.lights.position.shape[0]
+    pad = SOFT_CULL_SIGMAS * tau_e
+    tri_box, sph_box = _prim_bboxes(packed)
+    tri_box = _pad_box(tri_box, pad)
+    sph_box = _pad_box(sph_box, pad)
+
+    k_tri = min(k, _round_up(max(packed.n_tris, 1), CH)) if packed.n_tris else 0
+    k_sph = (
+        min(k, _round_up(max(packed.n_spheres, 1), CH))
+        if packed.n_spheres else 0
+    )
+    overflow = jnp.zeros((), bool)
+    zero_cnt = jnp.zeros((n_tiles,), jnp.int32)
+    if k_tri:
+        t_idx, t_valid, cnt_tri, over = _bin_prims(
+            tri_box, packed.n_tris, nty, ntx, k_tri, offs=offs
+        )
+        overflow |= over
+    else:
+        t_idx = jnp.zeros((n_tiles, CH), jnp.int32)
+        t_valid = jnp.zeros((n_tiles, CH), bool)
+        cnt_tri = zero_cnt
+    if k_sph:
+        s_idx, s_valid, cnt_sph, over = _bin_prims(
+            sph_box, packed.n_spheres, nty, ntx, k_sph, offs=offs
+        )
+        overflow |= over
+    else:
+        s_idx = jnp.zeros((n_tiles, CH), jnp.int32)
+        s_valid = jnp.zeros((n_tiles, CH), bool)
+        cnt_sph = zero_cnt
+
+    k_sh_tri = (
+        min(shadow_k, _round_up(packed.n_tris, CH))
+        if (shadows and packed.n_tris) else 0
+    )
+    k_sh_sph = (
+        min(shadow_k, _round_up(packed.n_spheres, CH))
+        if (shadows and packed.n_spheres) else 0
+    )
+    lpos = packed.lights.position
+
+    def bin_sh(box, n_real, ksh):
+        idxs, valids = [], []
+        over = jnp.zeros((), bool)
+        for li in range(n_lights):
+            i_, v_, _, o_ = _bin_prims(
+                box, n_real, nty, ntx, ksh,
+                light_xy=(lpos[li, 0], lpos[li, 1]), offs=offs,
+            )
+            idxs.append(i_)
+            valids.append(v_)
+            over |= o_
+        return jnp.stack(idxs), jnp.stack(valids), over
+
+    if k_sh_tri:
+        tsh_idx, tsh_valid, over = bin_sh(tri_box, packed.n_tris, k_sh_tri)
+        overflow |= over
+    else:
+        tsh_idx = jnp.zeros((n_lights, n_tiles, CH), jnp.int32)
+        tsh_valid = jnp.zeros((n_lights, n_tiles, CH), bool)
+    if k_sh_sph:
+        ssh_idx, ssh_valid, over = bin_sh(sph_box, packed.n_spheres, k_sh_sph)
+        overflow |= over
+    else:
+        ssh_idx = jnp.zeros((n_lights, n_tiles, CH), jnp.int32)
+        ssh_valid = jnp.zeros((n_lights, n_tiles, CH), bool)
+
+    return SoftBins(
+        t_idx=t_idx, t_valid=t_valid, s_idx=s_idx, s_valid=s_valid,
+        tsh_idx=tsh_idx, tsh_valid=tsh_valid,
+        ssh_idx=ssh_idx, ssh_valid=ssh_valid,
+        counts=jnp.stack([cnt_tri, cnt_sph], axis=1),
+        overflow=overflow,
+        k_tri=k_tri, k_sph=k_sph, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
+        nty=nty, ntx=ntx,
+    )
+
+
+# Null rows force cov == 0 EXACTLY (exp underflow), so a masked slot
+# contributes nothing to the image or the gradients — static-K masked loops
+# therefore equal ragged skipping bit-for-bit.
+_NULL_TRI16 = np.array(
+    [-1e9, 0, 0, 0, 0, 0, 0, 0, 0, 1.0, 1.0, 1.0, 0, 0, 0, 0], np.float32
+)  # u = -1e9 -> sigmoid(-1e9) == 0
+_NULL_SPH16 = np.array(
+    [-1e9, 0, 0, 1e18, 0, 0, 0, 0, 0, 0, 1.0, 0, 0, 0, 1e9, 1.0], np.float32
+)  # tca < 0 and margin = (0 - 1e18) -> both sigmoids 0
+_NULL_TSH16 = np.zeros((16,), np.float32)  # zero verts -> det 0 -> cov 0
+_NULL_SSH16 = np.array(
+    [0, 0, 1e9, 0, 1.0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.float32
+)  # far occluder, r2 = 0
+
+
+def _gather_soft_tables(packed, camera, tau_e, bins: SoftBins):
+    """Per-frame per-tile candidate tables. Pure jnp and differentiable —
+    its jax.vjp scatter-adds per-tile gradient tables back onto the
+    PackedScene / Camera / tau_e inputs.
+
+    tri16 rows:  [u0,ux,uy, v0,vx,vy, t0,tx,ty, itu,itv,itw, 0 x4]
+                 (affine Möller–Trumbore + sigmoid scales s/tau_e)
+    tri_alb8:    [r,g,b, n(pre-flipped vs shared dir), 0,0]
+    sph16 rows:  [tca0,tcax,tcay, d20,d2x,d2y,d2xx,d2yy,d2xy, r2,
+                  inv2r, rinv, cx,cy,cz, twor]
+    sph_alb8:    [r,g,b, 0 x5]
+    tri_sh16:    [v0(3), e1(3), e2(3), itu,itv,itw, 0 x4]  (geometric)
+    sph_sh16:    [cx,cy,cz, r2, inv2r, twor, 0 x10]
+    """
+    from opencl_ray_tracer_tpu.kernels.soft import (
+        _safe_norm_rows,
+        _safe_unit_rows,
+    )
+
+    tri9, sph10 = _prep_affine_coefs(packed, camera)  # (9, Tp), (10, Sp)
+    e1t, e2t = packed.tri_e1.T, packed.tri_e2.T
+    s1 = _safe_norm_rows(e1t)
+    s2 = _safe_norm_rows(e2t)
+    itu = jnp.maximum(s1, 1e-6) / tau_e
+    itv = jnp.maximum(s2, 1e-6) / tau_e
+    itw = jnp.maximum(0.5 * (s1 + s2), 1e-6) / tau_e
+    tp_ = packed.padded_tris
+    sp_ = packed.padded_spheres
+    tri16 = jnp.concatenate(
+        [tri9, itu[None], itv[None], itw[None], jnp.zeros((4, tp_))], axis=0
+    ).T  # (Tp, 16)
+
+    n = _safe_unit_rows(jnp.cross(e1t, e2t))
+    d0 = camera.d0
+    fl = jnp.where(jnp.sum(n * d0, -1) > 0, -1.0, 1.0)[:, None]
+    tri_alb8 = jnp.concatenate(
+        [packed.tri_colour.T[:, :3], n * fl, jnp.zeros((tp_, 2))], axis=1
+    )
+
+    r = packed.sph_radius[0]
+    twor = jnp.maximum(2.0 * r, 1e-6)
+    inv2r = 1.0 / twor
+    rinv = jnp.where(r > 0, 1.0 / jnp.where(r > 0, r, 1.0), 0.0)
+    sph16 = jnp.concatenate(
+        [
+            sph10, inv2r[None], rinv[None], packed.sph_origin, twor[None],
+            jnp.zeros((0, sp_)),
+        ],
+        axis=0,
+    ).T  # (Sp, 16)
+    sph_alb8 = jnp.concatenate(
+        [packed.sph_colour.T[:, :3], jnp.zeros((sp_, 5))], axis=1
+    )
+
+    tri_sh16 = jnp.concatenate(
+        [
+            packed.tri_v0, packed.tri_e1, packed.tri_e2,
+            itu[None], itv[None], itw[None], jnp.zeros((4, tp_)),
+        ],
+        axis=0,
+    ).T
+    sph_sh16 = jnp.concatenate(
+        [
+            packed.sph_origin, (r * r)[None], inv2r[None], twor[None],
+            jnp.zeros((10, sp_)),
+        ],
+        axis=0,
+    ).T
+
+    def gather(rows, idx, valid, null):
+        g = rows[idx]
+        return jnp.where(valid[..., None], g, null)
+
+    tri_t = gather(tri16, bins.t_idx, bins.t_valid, _NULL_TRI16)
+    tri_alb_t = gather(tri_alb8, bins.t_idx, bins.t_valid, 0.0)
+    sph_t = gather(sph16, bins.s_idx, bins.s_valid, _NULL_SPH16)
+    sph_alb_t = gather(sph_alb8, bins.s_idx, bins.s_valid, 0.0)
+    n_lights = bins.tsh_idx.shape[0]
+    tsh_t = jnp.concatenate(
+        [
+            gather(tri_sh16, bins.tsh_idx[li], bins.tsh_valid[li], _NULL_TSH16)
+            for li in range(n_lights)
+        ],
+        axis=1,
+    )  # (n_tiles, L*k_sh_tri, 16)
+    ssh_t = jnp.concatenate(
+        [
+            gather(sph_sh16, bins.ssh_idx[li], bins.ssh_valid[li], _NULL_SSH16)
+            for li in range(n_lights)
+        ],
+        axis=1,
+    )
+    return tri_t, tri_alb_t, sph_t, sph_alb_t, tsh_t, ssh_t
+
+
+# ---------------------------------------------------------------------------
+# The pure tile function (transposed layout) — fwd runs it, bwd vjp's it
+# ---------------------------------------------------------------------------
+
+def _tile_soft_T(
+    pv, tau_d, tau_e,
+    tri_t, tri_alb, sph_t, sph_alb, tri_sh, sph_sh,
+    x, y,
+    *,
+    k_tri: int,
+    k_sph: int,
+    k_sh_tri: int,
+    k_sh_sph: int,
+    n_lights: int,
+    shading: str,
+    shadows: bool,
+    tp: int,
+):
+    """One SUB_PIX strip of the tiled soft renderer as a pure array function.
+
+    x, y: (1, tp) pixel coords. Tables as in _gather_soft_tables. Returns
+    (8, tp) rows [r, g, b, alpha, 0...]. Formulas are kernels/soft.py's
+    _tile_soft_math in the transposed layout (primitives on sublanes);
+    diff/soft.py is the independent oracle for both.
+    """
+    d = (pv[_P_D0], pv[_P_D0 + 1], pv[_P_D0 + 2])  # shared-dir scalars
+    o = tuple(
+        pv[_P_O0 + q] + x * pv[_P_DOX + q] + y * pv[_P_DOY + q]
+        for q in range(3)
+    )
+    ambient = pv[_P_AMBIENT]
+    inv_td = 1.0 / tau_d
+    inv_te = 1.0 / tau_e
+    inv_te6 = 1.0 / jnp.maximum(tau_e, 1e-6)
+    x2, y2, xy = x * x, y * y, x * y
+    zeros1 = jnp.zeros((1, tp), jnp.float32)
+
+    def tcol(tab, cs, q):
+        return tab[cs : cs + CH, q : q + 1]  # (CH, 1)
+
+    # -- primary candidate tests (affine coefficients) -----------------------
+    def tri_chunk(cs):
+        c = lambda q: tcol(tri_t, cs, q)
+        u = c(0) + x * c(1) + y * c(2)
+        v = c(3) + x * c(4) + y * c(5)
+        t = c(6) + x * c(7) + y * c(8)
+        cov = (
+            jax.nn.sigmoid(u * c(9))
+            * jax.nn.sigmoid(v * c(10))
+            * jax.nn.sigmoid((1.0 - u - v) * c(11))
+        )
+        return t, cov
+
+    def sph_chunk(cs):
+        c = lambda q: tcol(sph_t, cs, q)
+        tca = c(0) + x * c(1) + y * c(2)
+        d2 = (
+            c(3) + x * c(4) + y * c(5) + x2 * c(6) + y2 * c(7) + xy * c(8)
+        )
+        r2, inv2r, rinv = c(9), c(10), c(11)
+        margin = (r2 - d2) * inv2r
+        cov = jax.nn.sigmoid(margin * inv_te) * jax.nn.sigmoid(tca * inv_te6)
+        q_ = r2 - d2
+        beta = jnp.maximum(tau_e, 1e-3) * c(15)
+        thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
+        t = tca - thc
+        nx = (o[0] + t * d[0] - c(12)) * rinv
+        ny = (o[1] + t * d[1] - c(13)) * rinv
+        nz = (o[2] + t * d[2] - c(14)) * rinv
+        return t, cov, (nx, ny, nz)
+
+    # -- shadow occluder tests (geometric: per-pixel shadow-ray dirs) --------
+    def tri_sh_chunk(base, so, sd):
+        c = lambda q: tri_sh[base : base + CH, q : q + 1]
+        v0 = (c(0), c(1), c(2))
+        e1 = (c(3), c(4), c(5))
+        e2 = (c(6), c(7), c(8))
+        pvx = sd[1] * e2[2] - sd[2] * e2[1]
+        pvy = sd[2] * e2[0] - sd[0] * e2[2]
+        pvz = sd[0] * e2[1] - sd[1] * e2[0]
+        det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+        det_ok = jnp.abs(det) >= EPSILON
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        tvx, tvy, tvz = so[0] - v0[0], so[1] - v0[1], so[2] - v0[2]
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1[2] - tvz * e1[1]
+        qvy = tvz * e1[0] - tvx * e1[2]
+        qvz = tvx * e1[1] - tvy * e1[0]
+        v = (sd[0] * qvx + sd[1] * qvy + sd[2] * qvz) * inv_det
+        t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+        cov = (
+            jax.nn.sigmoid(u * c(9))
+            * jax.nn.sigmoid(v * c(10))
+            * jax.nn.sigmoid((1.0 - u - v) * c(11))
+        )
+        cov = jnp.where(det_ok, cov, 0.0)
+        return t, cov
+
+    def sph_sh_chunk(base, so, sd):
+        c = lambda q: sph_sh[base : base + CH, q : q + 1]
+        lx, ly, lz = c(0) - so[0], c(1) - so[1], c(2) - so[2]
+        tca = lx * sd[0] + ly * sd[1] + lz * sd[2]
+        d2 = lx * lx + ly * ly + lz * lz - tca * tca
+        r2, inv2r, twor = c(3), c(4), c(5)
+        margin = (r2 - d2) * inv2r
+        cov = jax.nn.sigmoid(margin * inv_te) * jax.nn.sigmoid(tca * inv_te6)
+        q_ = r2 - d2
+        beta = jnp.maximum(tau_e, 1e-3) * twor
+        thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
+        t = tca - thc
+        return t, cov
+
+    def light_scalars(li):
+        base = _P_LIGHTS + li * _LIGHT_STRIDE
+        lp = (pv[base], pv[base + 1], pv[base + 2])
+        lc = (pv[base + 3], pv[base + 4], pv[base + 5])
+        return lp, lc, pv[base + 6]
+
+    def ranking(t, cov):
+        return jnp.where(
+            cov > 1e-12,
+            -t * inv_td + jnp.log(jnp.clip(cov, 1e-12, 1.0)),
+            NEG_BIG,
+        )
+
+    chunks = [("tri", cs) for cs in range(0, k_tri, CH)] + [
+        ("sph", cs) for cs in range(0, k_sph, CH)
+    ]
+    aggregate = shading == "phong" or (shadows and shading == "lambert")
+
+    if not aggregate:
+        # ---- per-primitive shading (legacy / lambert without shadows) ------
+        m = jnp.full((1, tp), NEG_BIG, jnp.float32)
+        z, sr, sg, sb_, bacc = zeros1, zeros1, zeros1, zeros1, zeros1
+        for kind, cs in chunks:
+            if kind == "tri":
+                t, cov = tri_chunk(cs)
+                alb = tri_alb[cs : cs + CH, :]
+            else:
+                t, cov, n = sph_chunk(cs)
+                alb = sph_alb[cs : cs + CH, :]
+            logit = ranking(t, cov)
+            cmax = jnp.max(logit, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, cmax)
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(logit - m_new)                       # (CH, tp)
+            z = z * scale + jnp.sum(e, axis=0, keepdims=True)
+
+            if shading == "legacy":
+                scalar_t = 255.0 - t * (255.0 / LEGACY_FOG_MAX)
+                s = _dot_attr(alb, e * scalar_t)             # (8, tp)
+                sr = sr * scale + s[0:1]
+                sg = sg * scale + s[1:2]
+                sb_ = sb_ * scale + s[2:3]
+            else:  # lambert, no shadows
+                px = o[0] + t * d[0]
+                py = o[1] + t * d[1]
+                pz = o[2] + t * d[2]
+                if kind == "tri":
+                    # pre-flipped unit normal columns
+                    n = (
+                        tcol(tri_alb, cs, 3),
+                        tcol(tri_alb, cs, 4),
+                        tcol(tri_alb, cs, 5),
+                    )
+                amb_s = _dot_attr(alb, e) * ambient
+                acc_r, acc_g, acc_b = amb_s[0:1], amb_s[1:2], amb_s[2:3]
+                for li in range(n_lights):
+                    lp, lc, lint = light_scalars(li)
+                    tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+                    dist = jnp.sqrt(
+                        jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+                    )
+                    ndotl = jnp.maximum(
+                        (n[0] * tlx + n[1] * tly + n[2] * tlz) / dist, 0.0
+                    )
+                    s = _dot_attr(alb, e * (lint * ndotl))
+                    acc_r = acc_r + lc[0] * s[0:1]
+                    acc_g = acc_g + lc[1] * s[1:2]
+                    acc_b = acc_b + lc[2] * s[2:3]
+                sr = sr * scale + acc_r * 255.0
+                sg = sg * scale + acc_g * 255.0
+                sb_ = sb_ * scale + acc_b * 255.0
+
+            bacc = bacc + jnp.sum(
+                jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
+                axis=0, keepdims=True,
+            )
+            m = m_new
+
+        zinv = 1.0 / jnp.maximum(z, 1e-20)
+        w_bg = jnp.exp(bacc)
+        r_out = (1.0 - w_bg) * sr * zinv
+        g_out = (1.0 - w_bg) * sg * zinv
+        b_out = (1.0 - w_bg) * sb_ * zinv
+        if shading != "legacy":
+            r_out = jnp.clip(r_out, 0.0, 255.0)
+            g_out = jnp.clip(g_out, 0.0, 255.0)
+            b_out = jnp.clip(b_out, 0.0, 255.0)
+    else:
+        # ---- aggregate-then-shade (phong / lambert + soft shadows) ---------
+        m = jnp.full((1, tp), NEG_BIG, jnp.float32)
+        z, st, bacc = zeros1, zeros1, zeros1
+        snx, sny, snz = zeros1, zeros1, zeros1  # sphere-normal accumulators
+        s8 = jnp.zeros((8, tp), jnp.float32)    # rgb + tri normals via MXU
+        for kind, cs in chunks:
+            if kind == "tri":
+                t, cov = tri_chunk(cs)
+                alb = tri_alb[cs : cs + CH, :]
+                n = None
+            else:
+                t, cov, n = sph_chunk(cs)
+                alb = sph_alb[cs : cs + CH, :]
+            logit = ranking(t, cov)
+            cmax = jnp.max(logit, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, cmax)
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(logit - m_new)
+            z = z * scale + jnp.sum(e, axis=0, keepdims=True)
+            st = st * scale + jnp.sum(e * t, axis=0, keepdims=True)
+            s8 = s8 * scale + _dot_attr(alb, e)
+            if kind == "sph":
+                snx = snx * scale + jnp.sum(e * n[0], axis=0, keepdims=True)
+                sny = sny * scale + jnp.sum(e * n[1], axis=0, keepdims=True)
+                snz = snz * scale + jnp.sum(e * n[2], axis=0, keepdims=True)
+            else:
+                snx, sny, snz = snx * scale, sny * scale, snz * scale
+            bacc = bacc + jnp.sum(
+                jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
+                axis=0, keepdims=True,
+            )
+            m = m_new
+
+        zinv = 1.0 / jnp.maximum(z, 1e-20)
+        w_bg = jnp.exp(bacc)
+        t_hat = st * zinv
+        # tri normal contributions ride s8 rows 3-5 (pre-flipped, constant
+        # per prim => foldable into the albedo matmul); sphere normals are
+        # per-pixel and accumulate explicitly.
+        nx = (s8[3:4] + snx) * zinv
+        ny = (s8[4:5] + sny) * zinv
+        nz = (s8[5:6] + snz) * zinv
+        ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        ar, ag, ab = s8[0:1] * zinv, s8[1:2] * zinv, s8[2:3] * zinv
+        px = o[0] + t_hat * d[0]
+        py = o[1] + t_hat * d[1]
+        pz = o[2] + t_hat * d[2]
+        vinv = jax.lax.rsqrt(
+            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-20)
+        )
+        vx, vy, vz = -d[0] * vinv, -d[1] * vinv, -d[2] * vinv
+
+        diff_r, diff_g, diff_b = zeros1, zeros1, zeros1
+        spec_r, spec_g, spec_b = zeros1, zeros1, zeros1
+        for li in range(n_lights):
+            lp, lc, lint = light_scalars(li)
+            tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+            dist = jnp.sqrt(
+                jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+            )
+            ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
+            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+            if shadows:
+                so = (
+                    px + SHADOW_OFFSET * nx,
+                    py + SHADOW_OFFSET * ny,
+                    pz + SHADOW_OFFSET * nz,
+                )
+                sd = (ldx, ldy, ldz)
+                tau_g = jnp.maximum(tau_e, 1e-4)
+                shift = jnp.maximum(SHADOW_T_MIN, 4.0 * tau_g)
+                logvis = zeros1
+
+                def occ_accum(t2, cov2, logvis):
+                    occ = (
+                        cov2
+                        * jax.nn.sigmoid((t2 - shift) / tau_g)
+                        * jax.nn.sigmoid((dist - t2) / tau_g)
+                    )
+                    return logvis + jnp.sum(
+                        jnp.log1p(-jnp.clip(occ, 0.0, 1.0 - 1e-6)),
+                        axis=0, keepdims=True,
+                    )
+
+                for cs in range(0, k_sh_tri, CH):
+                    t2, cov2 = tri_sh_chunk(li * k_sh_tri + cs, so, sd)
+                    logvis = occ_accum(t2, cov2, logvis)
+                for cs in range(0, k_sh_sph, CH):
+                    t2, cov2 = sph_sh_chunk(li * k_sh_sph + cs, so, sd)
+                    logvis = occ_accum(t2, cov2, logvis)
+                vis = jnp.exp(logvis)
+            else:
+                vis = 1.0
+            wd = lint * ndotl * vis
+            diff_r = diff_r + wd * lc[0]
+            diff_g = diff_g + wd * lc[1]
+            diff_b = diff_b + wd * lc[2]
+            if shading == "phong":
+                two_ndl = 2.0 * (nx * ldx + ny * ldy + nz * ldz)
+                rx = two_ndl * nx - ldx
+                ry = two_ndl * ny - ldy
+                rz = two_ndl * nz - ldz
+                rdotv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
+                ws = (
+                    pv[_P_SPEC]
+                    * jnp.exp(pv[_P_SHINE] * jnp.log(jnp.maximum(rdotv, 1e-20)))
+                    * lint
+                    * vis
+                    * (ndotl > 0.0)
+                )
+                spec_r = spec_r + ws * lc[0]
+                spec_g = spec_g + ws * lc[1]
+                spec_b = spec_b + ws * lc[2]
+
+        fg_r = ar * (ambient + diff_r) + spec_r
+        fg_g = ag * (ambient + diff_g) + spec_g
+        fg_b = ab * (ambient + diff_b) + spec_b
+        r_out = jnp.clip((1.0 - w_bg) * fg_r * 255.0, 0.0, 255.0)
+        g_out = jnp.clip((1.0 - w_bg) * fg_g * 255.0, 0.0, 255.0)
+        b_out = jnp.clip((1.0 - w_bg) * fg_b * 255.0, 0.0, 255.0)
+
+    alpha = jnp.full((1, tp), 255.0, jnp.float32)
+    pad0 = jnp.zeros((4, tp), jnp.float32)
+    return jnp.concatenate([r_out, g_out, b_out, alpha, pad0], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Kernels + wrappers
+# ---------------------------------------------------------------------------
+
+def _tile_xy(i, sb, ntx: int, sub_pix: int):
+    """(tile, sub-block) grid ids -> (1, sub_pix) pixel coords."""
+    ty = i // ntx
+    tx = i - ty * ntx
+    x0 = (tx * TILE_W).astype(jnp.float32)
+    y0 = (ty * TILE_H).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, sub_pix), 1)
+    lx = (lane % TILE_W).astype(jnp.float32)
+    lrow = (lane // TILE_W).astype(jnp.float32)
+    rows_per_sub = sub_pix // TILE_W
+    x = x0 + lx
+    y = y0 + (sb * rows_per_sub).astype(jnp.float32) + lrow
+    return x, y
+
+
+def _tile_g_layout(g, height, width, nty, ntx):
+    """(H, W, 4) cotangent -> (n_tiles, 8, TILE_PIX) tile-major rows."""
+    hp, wp = nty * TILE_H, ntx * TILE_W
+    g8 = jnp.zeros((8, hp, wp), jnp.float32)
+    g8 = g8.at[0:4, :height, :width].set(
+        jnp.moveaxis(g.astype(jnp.float32), -1, 0)
+    )
+    return (
+        g8.reshape(8, nty, TILE_H, ntx, TILE_W)
+        .transpose(1, 3, 0, 2, 4)
+        .reshape(nty * ntx, 8, TILE_PIX)
+    )
+
+
+def _untile(out, height, width, nty, ntx):
+    """(n_tiles, 8, TILE_PIX) -> (H, W, 4)."""
+    img = (
+        out.reshape(nty, ntx, 8, TILE_H, TILE_W)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(8, nty * TILE_H, ntx * TILE_W)
+    )
+    return jnp.moveaxis(img[0:4, :height, :width], 0, -1)
+
+
+def _soft_tiled_fwd_pallas(
+    params, taus, tables, counts, *, width, nty, ntx, cfg, interpret,
+):
+    tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t = tables
+    n_params = params.shape[0]
+    n_tiles = nty * ntx
+    sub = SUB_PIX_FWD
+    n_sub = TILE_PIX // sub
+
+    def kernel(params_ref, taus_ref, counts_ref, tt, ta, st_, sa, tsh, ssh,
+               out_ref):
+        i = pl.program_id(0)
+        sb = pl.program_id(1)
+        # Empty tiles (89% of the 1080p headline scene): no primary
+        # candidates means the full math provably produces rgb=0, a=255
+        # (all-null tables give w_bg == 1 exactly), so skip it at runtime.
+        empty = (counts_ref[i, 0] + counts_ref[i, 1]) == 0
+
+        @pl.when(empty)
+        def _():
+            out_ref[0] = jnp.concatenate(
+                [
+                    jnp.zeros((3, sub), jnp.float32),
+                    jnp.full((1, sub), 255.0, jnp.float32),
+                    jnp.zeros((4, sub), jnp.float32),
+                ],
+                axis=0,
+            )
+
+        @pl.when(jnp.logical_not(empty))
+        def _():
+            x, y = _tile_xy(i, sb, ntx, sub)
+            pv = tuple(params_ref[q] for q in range(n_params))
+            res = _tile_soft_T(
+                pv, taus_ref[0], taus_ref[1],
+                tt[0], ta[0], st_[0], sa[0], tsh[0], ssh[0],
+                x, y, **cfg,
+            )
+            out_ref[0] = res
+
+    tile3 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
+        grid=(n_tiles, n_sub),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile3(tri_t.shape),
+            tile3(tri_alb.shape),
+            tile3(sph_t.shape),
+            tile3(sph_alb.shape),
+            tile3(tsh_t.shape),
+            tile3(ssh_t.shape),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, sub), lambda i, sb: (i, 0, sb), memory_space=pltpu.VMEM
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t)
+    return out
+
+
+def _soft_tiled_bwd_pallas(
+    params, taus, tables, counts, g_tiles, *, width, nty, ntx, cfg, interpret,
+):
+    """Backward kernel: per-(tile, sub-block) recompute + in-kernel vjp of
+    _tile_soft_T; gradient tables land in PER-TILE output blocks (each tile
+    owns its block — no cross-tile accumulation), accumulated across the
+    tile's sub-blocks (init at sb == 0; TPU grids iterate the minor
+    dimension innermost and sequentially)."""
+    tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t = tables
+    n_params = params.shape[0]
+    n_tiles = nty * ntx
+    sub = SUB_PIX_BWD
+    n_sub = TILE_PIX // sub
+    cfg = dict(cfg, tp=sub)
+
+    def kernel(params_ref, taus_ref, counts_ref, tt, ta, st_, sa, tsh, ssh,
+               g_ref, d_tt, d_ta, d_st, d_sa, d_tsh, d_ssh, d_par, d_tau):
+        i = pl.program_id(0)
+        sb = pl.program_id(1)
+        # Empty tiles: the true vjp of the all-null tile math is EXACTLY
+        # zero for every input (all paths go through sigmoid'(±1e9) == 0,
+        # null albedos, or the (1 - w_bg) == 0 foreground factor), so the
+        # zero-init alone is the correct gradient — skip the recompute+vjp.
+        empty = (counts_ref[i, 0] + counts_ref[i, 1]) == 0
+
+        @pl.when(sb == 0)
+        def _():
+            d_tt[0] = jnp.zeros(d_tt.shape[1:], jnp.float32)
+            d_ta[0] = jnp.zeros(d_ta.shape[1:], jnp.float32)
+            d_st[0] = jnp.zeros(d_st.shape[1:], jnp.float32)
+            d_sa[0] = jnp.zeros(d_sa.shape[1:], jnp.float32)
+            d_tsh[0] = jnp.zeros(d_tsh.shape[1:], jnp.float32)
+            d_ssh[0] = jnp.zeros(d_ssh.shape[1:], jnp.float32)
+            d_par[0] = jnp.zeros(d_par.shape[1:], jnp.float32)
+            d_tau[0] = jnp.zeros(d_tau.shape[1:], jnp.float32)
+
+        @pl.when(jnp.logical_not(empty))
+        def _():
+            x, y = _tile_xy(i, sb, ntx, sub)
+            pv = tuple(params_ref[q] for q in range(n_params))
+
+            def f(pv_, td, te, tt_, ta_, st__, sa_, tsh_, ssh_):
+                return _tile_soft_T(
+                    pv_, td, te, tt_, ta_, st__, sa_, tsh_, ssh_, x, y, **cfg
+                )
+
+            _, vjp = jax.vjp(
+                f, pv, taus_ref[0], taus_ref[1],
+                tt[0], ta[0], st_[0], sa[0], tsh[0], ssh[0],
+            )
+            gpv, gtd, gte, gtt, gta, gst, gsa, gtsh, gssh = vjp(g_ref[0])
+
+            d_tt[0] += gtt
+            d_ta[0] += gta
+            d_st[0] += gst
+            d_sa[0] += gsa
+            d_tsh[0] += gtsh
+            d_ssh[0] += gssh
+            d_par[0] += jnp.concatenate(
+                [g.reshape(1, 1) for g in gpv], axis=1
+            )
+            d_tau[0] += jnp.concatenate(
+                [gtd.reshape(1, 1), gte.reshape(1, 1)], axis=1
+            )
+
+    tile3 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    f32 = jnp.float32
+    shapes = [tri_t.shape, tri_alb.shape, sph_t.shape, sph_alb.shape,
+              tsh_t.shape, ssh_t.shape, (n_tiles, 1, n_params),
+              (n_tiles, 1, 2)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct(s, f32) for s in shapes),
+        grid=(n_tiles, n_sub),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile3(tri_t.shape),
+            tile3(tri_alb.shape),
+            tile3(sph_t.shape),
+            tile3(sph_alb.shape),
+            tile3(tsh_t.shape),
+            tile3(ssh_t.shape),
+            pl.BlockSpec(
+                (1, 8, sub), lambda i, sb: (i, 0, sb), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=tuple(tile3(s) for s in shapes),
+        compiler_params=pltpu.CompilerParams(
+            # sub-block accumulation into revisited per-tile blocks needs
+            # in-order execution of the minor dimension.
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
+        interpret=interpret,
+    )(params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t,
+      g_tiles)
+
+
+def _soft_cfg(bins: SoftBins, packed, shading, shadows, tp):
+    return dict(
+        k_tri=bins.k_tri,
+        k_sph=bins.k_sph,
+        k_sh_tri=bins.k_sh_tri,
+        k_sh_sph=bins.k_sh_sph,
+        n_lights=packed.lights.position.shape[0],
+        shading=shading,
+        shadows=shadows,
+        tp=tp,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "shading", "shadows", "interpret"),
+)
+def _soft_tiled_fwd_impl(
+    packed, camera, tau_d, tau_e, bins,
+    *, height, width, shading, shadows, interpret,
+):
+    tables = _gather_soft_tables(packed, camera, tau_e, bins)
+    params = _camera_params(camera, packed.lights)
+    taus = jnp.stack([tau_d, tau_e]).astype(jnp.float32)
+    cfg = _soft_cfg(bins, packed, shading, shadows, SUB_PIX_FWD)
+    out = _soft_tiled_fwd_pallas(
+        params, taus, tables, bins.counts,
+        width=width, nty=bins.nty, ntx=bins.ntx, cfg=cfg, interpret=interpret,
+    )
+    return _untile(out, height, width, bins.nty, bins.ntx)
+
+
+# --- custom VJP --------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _soft_tiled_core(
+    packed, camera, tau_d, tau_e,
+    height, width, shading, shadows, interpret, k, shadow_k,
+):
+    out, _ = _soft_tiled_fwd_core(
+        packed, camera, tau_d, tau_e,
+        height, width, shading, shadows, interpret, k, shadow_k,
+    )
+    return out
+
+
+def _make_bins(packed, camera, tau_e, height, width, shading, shadows, k,
+               shadow_k):
+    bins = _bin_soft(
+        jax.lax.stop_gradient(packed), jax.lax.stop_gradient(tau_e),
+        jax.lax.stop_gradient(camera),
+        height=height, width=width, k=k, shadows=shadows, shadow_k=shadow_k,
+    )
+    return bins
+
+
+def _soft_tiled_fwd_core(
+    packed, camera, tau_d, tau_e,
+    height, width, shading, shadows, interpret, k, shadow_k,
+):
+    from opencl_ray_tracer_tpu.kernels.soft import _soft_pallas_fwd
+
+    bins = _make_bins(
+        packed, camera, tau_e, height, width, shading, shadows, k, shadow_k
+    )
+
+    def tiled(args):
+        p, c, td, te = args
+        return _soft_tiled_fwd_impl(
+            p, c, td, te, bins,
+            height=height, width=width, shading=shading, shadows=shadows,
+            interpret=interpret,
+        )
+
+    def brute(args):
+        p, c, td, te = args
+        return _soft_pallas_fwd(
+            p, c, td, te,
+            height=height, width=width, shading=shading, shadows=shadows,
+            normalize_dir=False, interpret=interpret,
+        )
+
+    out = jax.lax.cond(
+        bins.overflow, brute, tiled, (packed, camera, tau_d, tau_e)
+    )
+    return out, bins
+
+
+def _soft_tiled_vjp_fwd(
+    packed, camera, tau_d, tau_e,
+    height, width, shading, shadows, interpret, k, shadow_k,
+):
+    out, bins = _soft_tiled_fwd_core(
+        packed, camera, tau_d, tau_e,
+        height, width, shading, shadows, interpret, k, shadow_k,
+    )
+    return out, (packed, camera, tau_d, tau_e, bins)
+
+
+def _soft_tiled_vjp_bwd(
+    height, width, shading, shadows, interpret, k, shadow_k, res, g,
+):
+    from opencl_ray_tracer_tpu.kernels.soft import (
+        _soft_bwd as _brute_soft_bwd,
+    )
+
+    packed, camera, tau_d, tau_e, bins = res
+
+    def tiled_bwd(args):
+        packed_, camera_, td, te, g_ = args
+
+        def prep(p_, c_, te_):
+            tabs = _gather_soft_tables(p_, c_, te_, bins)
+            return tabs + (_camera_params(c_, p_.lights),)
+
+        outs, prep_vjp = jax.vjp(prep, packed_, camera_, te)
+        tables, params = outs[:6], outs[6]
+        taus = jnp.stack([td, te]).astype(jnp.float32)
+        g_tiles = _tile_g_layout(g_, height, width, bins.nty, bins.ntx)
+        cfg = _soft_cfg(bins, packed_, shading, shadows, SUB_PIX_BWD)
+        grads = _soft_tiled_bwd_pallas(
+            params, taus, tables, bins.counts, g_tiles,
+            width=width, nty=bins.nty, ntx=bins.ntx, cfg=cfg,
+            interpret=interpret,
+        )
+        d_tabs = grads[:6]
+        d_par = jnp.sum(grads[6], axis=0).reshape(params.shape)
+        d_tau = jnp.sum(grads[7], axis=0).reshape(2)
+        d_packed, d_camera, d_te_prep = prep_vjp(tuple(d_tabs) + (d_par,))
+        return d_packed, d_camera, d_tau[0], d_tau[1] + d_te_prep
+
+    def brute_bwd(args):
+        packed_, camera_, td, te, g_ = args
+        return _brute_soft_bwd(
+            height, width, shading, shadows, False, interpret,
+            (packed_, camera_, td, te), g_,
+        )
+
+    return jax.lax.cond(
+        bins.overflow, brute_bwd, tiled_bwd,
+        (packed, camera, tau_d, tau_e, g),
+    )
+
+
+_soft_tiled_core.defvjp(_soft_tiled_vjp_fwd, _soft_tiled_vjp_bwd)
+
+
+def render_soft_tiled(
+    scene,
+    camera: Camera,
+    config: RenderConfig,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Tiled+culled soft differentiable render (shared-direction cameras).
+
+    Fused Pallas forward AND backward with per-tile candidate culling; any
+    tile exceeding config.cull_k / shadow_cull_k candidates falls back to
+    the brute soft kernel for the frame (lax.cond — never silently wrong).
+    Output float32 (H, W, 4), 0..255 domain."""
+    if camera.normalize:
+        raise ValueError(
+            "render_soft_tiled requires a shared-direction camera; "
+            "use render_soft_pallas for pinhole cameras"
+        )
+    if interpret is None:
+        interpret = _use_interpret()
+    packed = scene.pack() if hasattr(scene, "pack") else scene
+    return _soft_tiled_core(
+        packed,
+        camera,
+        jnp.float32(config.tau_depth),
+        jnp.float32(config.tau_edge),
+        config.height,
+        config.width,
+        config.shading,
+        config.shadows,
+        interpret,
+        config.cull_k,
+        config.shadow_cull_k,
+    )

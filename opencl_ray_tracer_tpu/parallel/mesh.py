@@ -81,11 +81,14 @@ def _render_rows(scene, camera, h, w, config: RenderConfig):
             shadows=config.shadows,
         )
     if config.backend == "pallas":
-        # Fused megakernel per shard: each chip traces its own row block
-        # (the flat-pixel-tile kernel handles any local height).
-        from opencl_ray_tracer_tpu.kernels.fwd import render_pallas
+        # Tiled+culled kernel per shard: the shifted camera's origin offset
+        # moves the shard's tile rects into world coordinates at binning
+        # time (fwd_tiled._bin_prims offs), so each chip culls against its
+        # own row block. Pinhole shards bin through their shifted camera's
+        # projection directly.
+        from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled
 
-        return render_pallas(
+        return render_tiled(
             scene, camera, config.replace(height=h, width=w)
         )
     from opencl_ray_tracer_tpu.models.xla_backend import render_xla_jit

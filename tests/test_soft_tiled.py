@@ -1,0 +1,158 @@
+"""Tiled+culled soft kernel cross-checks (kernels/soft_tiled.py).
+
+Oracles: the brute soft Pallas kernels (kernels/soft.py, same math in the
+padded layout) and the independent jnp twin (diff/soft.py). Shared-dir
+render_soft_pallas calls route to the tiled path, so the pre-existing soft
+tests cover it too; this file adds the phong+shadow gradient contract, the
+overflow->brute lax.cond fallback, and the saturation behaviour pin
+(VERDICT round-1 weak item 1)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opencl_ray_tracer_tpu import RenderConfig, legacy_ortho_camera
+from opencl_ray_tracer_tpu.diff import render_soft
+from opencl_ray_tracer_tpu.kernels.soft import _soft_render_core
+from opencl_ray_tracer_tpu.kernels.soft_tiled import render_soft_tiled
+from opencl_ray_tracer_tpu.scene import random_scene
+
+W, H = 256, 128  # 2x2 tiles
+
+
+def cfg(shading="phong", shadows=True, **kw):
+    base = dict(
+        width=W, height=H, shading=shading, shadows=shadows, soft=True,
+        framebuffer_dtype="float", tau_depth=1.0, tau_edge=0.5,
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def brute(scene, cam, c):
+    return _soft_render_core(
+        scene.pack(), cam, jnp.float32(c.tau_depth), jnp.float32(c.tau_edge),
+        c.height, c.width, c.shading, c.shadows, False, True,
+    )
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return random_scene(5, 3, seed=4, bounds=(250.0, 120.0))
+
+
+@pytest.mark.parametrize(
+    "shading,shadows",
+    [("legacy", False), ("lambert", False), ("lambert", True), ("phong", True)],
+)
+def test_tiled_soft_matches_brute(scene, shading, shadows):
+    cam = legacy_ortho_camera()
+    c = cfg(shading=shading, shadows=shadows)
+    t = np.asarray(render_soft_tiled(scene, cam, c, interpret=True))
+    b = np.asarray(brute(scene, cam, c))
+    assert np.abs(t - b).max() < 0.05, np.abs(t - b).max()
+
+
+def test_tiled_soft_matches_twin_phong_shadows(scene):
+    cam = legacy_ortho_camera()
+    c = cfg("phong", True)
+    t = np.asarray(render_soft_tiled(scene, cam, c, interpret=True))
+    ref = np.asarray(render_soft(scene, cam, c))
+    err = np.abs(t - ref)
+    assert np.percentile(err, 99.9) < 0.1, np.percentile(err, 99.9)
+    assert err.max() < 1.0, err.max()
+
+
+def test_tiled_soft_grads_match_brute_phong_shadows(scene):
+    """Fused tiled backward == brute soft backward, including light-position
+    grads THROUGH soft shadow visibility."""
+    cam = legacy_ortho_camera()
+    c = cfg("phong", True)
+    packed = scene.pack()
+
+    def loss_tiled(p):
+        img = render_soft_tiled(p, cam, c, interpret=True)
+        return jnp.mean(img[..., :3] ** 2)
+
+    def loss_brute(p):
+        return jnp.mean(brute_packed(p)[..., :3] ** 2)
+
+    def brute_packed(p):
+        return _soft_render_core(
+            p, cam, jnp.float32(c.tau_depth), jnp.float32(c.tau_edge),
+            H, W, "phong", True, False, True,
+        )
+
+    gt = jax.grad(loss_tiled)(packed)
+    gb = jax.grad(loss_brute)(packed)
+    for name in ("sph_origin", "sph_radius", "sph_colour", "tri_v0", "tri_e1"):
+        a, b = np.asarray(getattr(gt, name)), np.asarray(getattr(gb, name))
+        assert np.any(a != 0), f"zero grad for {name}"
+        assert np.all(np.isfinite(a)), f"non-finite tiled grad for {name}"
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-3, err_msg=name)
+    a = np.asarray(gt.lights.position)
+    b = np.asarray(gb.lights.position)
+    assert np.any(a != 0), "no light-position grads through shadows"
+    np.testing.assert_allclose(
+        a / (np.abs(b).max() + 1e-12), b / (np.abs(b).max() + 1e-12), atol=1e-3
+    )
+
+
+def test_tiled_soft_overflow_falls_back_to_brute():
+    """More overlapping prims than cull_k: the lax.cond must take the brute
+    branch for BOTH forward and backward, staying correct and differentiable."""
+    pile = random_scene(40, 0, seed=9, bounds=(60.0, 40.0))
+    cam = legacy_ortho_camera()
+    c = cfg("lambert", False)
+    packed = pile.pack()
+    t = np.asarray(render_soft_tiled(pile, cam, c, interpret=True))
+    b = np.asarray(brute(pile, cam, c))
+    np.testing.assert_allclose(t, b, atol=1e-4)
+
+    g = jax.grad(
+        lambda p: jnp.mean(
+            render_soft_tiled(p, cam, c, interpret=True)[..., :3] ** 2
+        )
+    )(packed)
+    assert np.all(np.isfinite(np.asarray(g.sph_origin)))
+    assert np.any(np.asarray(g.sph_origin) != 0)
+
+
+def test_tiled_soft_saturation_pin(scene):
+    """Saturated pixels: forward values clip identically in kernel and twin
+    (both clip POST-aggregation), and gradients through saturated pixels are
+    zero in both — the round-1 twin-divergence, pinned."""
+    hot = dataclasses.replace(
+        scene,
+        lights=dataclasses.replace(
+            scene.lights, intensity=scene.lights.intensity * 50.0
+        ),
+    )
+    cam = legacy_ortho_camera()
+    c = cfg("phong", True)
+    t = np.asarray(render_soft_tiled(hot, cam, c, interpret=True))
+    ref = np.asarray(render_soft(hot, cam, c))
+    assert (t[..., :3] == 255.0).mean() > 0.02, "scene not actually saturated"
+    err = np.abs(t - ref)
+    assert np.percentile(err, 99.9) < 0.1, np.percentile(err, 99.9)
+
+    def loss(fn, s):
+        img = fn(s)
+        return jnp.mean(img[..., :3] ** 2)
+
+    g_t = jax.grad(lambda s: loss(
+        lambda s_: render_soft_tiled(s_, cam, c, interpret=True), s
+    ))(hot)
+    g_j = jax.grad(lambda s: loss(lambda s_: render_soft(s_, cam, c), s))(hot)
+    for name in ("sphere_origin", "lights",):
+        a = np.asarray(jax.tree_util.tree_leaves(getattr(g_t, name))[0])
+        b = np.asarray(jax.tree_util.tree_leaves(getattr(g_j, name))[0])
+        assert np.all(np.isfinite(a)), f"non-finite saturated grad: {name}"
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(
+            a / scale, b / scale, atol=2e-2, err_msg=name
+        )
