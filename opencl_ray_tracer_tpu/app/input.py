@@ -24,6 +24,14 @@ class InputManager:
         self._keys: Dict[str, ButtonState] = {}
         self._pending_down: Set[str] = set()
         self._pending_up: Set[str] = set()
+        # mouse state (InputManager.h mouse surface): position, wheel,
+        # buttons. Buttons share the key state machine under "mouse:<name>"
+        # names so they get the same Pressed -> Held -> Released lifecycle.
+        self._mouse_pos = (0, 0)
+        self._mouse_delta = (0, 0)
+        self._pending_mouse_pos = None
+        self._wheel = 0
+        self._pending_wheel = 0
 
     # -- event feeding (the SDL_Event pump role) ---------------------------
     def feed_key_down(self, key: str) -> None:
@@ -37,6 +45,18 @@ class InputManager:
         one after (what a terminal keypress maps to)."""
         self._pending_down.add(key)
         self._pending_up.add(key)
+
+    def feed_mouse_move(self, x: int, y: int) -> None:
+        self._pending_mouse_pos = (int(x), int(y))
+
+    def feed_mouse_down(self, button: str = "left") -> None:
+        self._pending_down.add(f"mouse:{button}")
+
+    def feed_mouse_up(self, button: str = "left") -> None:
+        self._pending_up.add(f"mouse:{button}")
+
+    def feed_mouse_wheel(self, dy: int) -> None:
+        self._pending_wheel += int(dy)
 
     # -- per-frame update (InputManager::update lifecycle) ------------------
     def update(self) -> None:
@@ -67,6 +87,17 @@ class InputManager:
             self._keys[k] = ButtonState.PRESSED
             self._pending_up.add(k)  # release lands next frame
 
+        if self._pending_mouse_pos is not None:
+            px, py = self._mouse_pos
+            nx, ny = self._pending_mouse_pos
+            self._mouse_delta = (nx - px, ny - py)
+            self._mouse_pos = self._pending_mouse_pos
+            self._pending_mouse_pos = None
+        else:
+            self._mouse_delta = (0, 0)
+        self._wheel = self._pending_wheel
+        self._pending_wheel = 0
+
     # -- queries (InputManager.h API shape) ---------------------------------
     def was_key_pressed(self, key: str) -> bool:
         return self._keys.get(key) == ButtonState.PRESSED
@@ -82,3 +113,24 @@ class InputManager:
 
     def pressed_keys(self) -> Iterable[str]:
         return [k for k, s in self._keys.items() if s == ButtonState.PRESSED]
+
+    # -- mouse queries (InputManager.h getMousePos/wasMouseButtonPressed...) --
+    def mouse_pos(self) -> tuple:
+        return self._mouse_pos
+
+    def mouse_delta(self) -> tuple:
+        """Movement since the previous update (getMouseDirection role)."""
+        return self._mouse_delta
+
+    def mouse_wheel(self) -> int:
+        """Wheel movement accumulated over the last frame."""
+        return self._wheel
+
+    def was_mouse_pressed(self, button: str = "left") -> bool:
+        return self.was_key_pressed(f"mouse:{button}")
+
+    def is_mouse_held(self, button: str = "left") -> bool:
+        return self.is_key_held(f"mouse:{button}")
+
+    def was_mouse_released(self, button: str = "left") -> bool:
+        return self.was_key_released(f"mouse:{button}")
