@@ -191,6 +191,27 @@ def main(argv=None) -> None:
             cfg_stress = cfg_legacy.replace(cull_k=96)
             u3, r3 = bench_config(scene_stress, cfg_stress, tiled=True, n_frames=30)
             row("tiled legacy 1080p 100sph+100cubes (1200 tris, k=96)", u3, r3)
+            # BASELINE config 4 analogue: ~100-primitive scene, fwd+bwd
+            scene_100 = random_scene(
+                50, 4, seed=1, bounds=(float(wid) - 10, float(hgt) - 10)
+            )
+            cfg_100 = RenderConfig(
+                width=wid, height=hgt, shading="phong", shadows=True,
+                soft=True, framebuffer_dtype="float",
+                tau_depth=1.0, tau_edge=0.5,
+            )
+            u4, r4 = bench_fwd_bwd_soft(scene_100, cfg_100, n_frames=10)
+            row("fwd+bwd soft phong+shadows 1080p 50sph+4cubes", u4, r4)
+            # BASELINE config 5 analogue: 4K render, 200 primitives
+            w4k, h4k = 3840, 2160
+            scene_4k = random_scene(
+                100, 100, seed=2, bounds=(float(w4k) - 10, float(h4k) - 10)
+            )
+            cfg_4k = RenderConfig(
+                width=w4k, height=h4k, shading="legacy", cull_k=96
+            )
+            u5, r5 = bench_config(scene_4k, cfg_4k, tiled=True, n_frames=30)
+            row("tiled legacy 4K 100sph+100cubes (1200 tris, k=96)", u5, r5)
         except Exception as e:  # context rows must never kill the headline
             print(f"# context bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)

@@ -160,6 +160,26 @@ def test_sharded_tiled_pallas_tall_image(scene1, eight_devices):
     assert np.any(sharded[64:, :, :3] != 0), "lower shards render nothing"
 
 
+def test_sharded_pinhole_tiled(scene1, eight_devices):
+    """Projective tiled kernel inside shard_map: shard cameras shift d0 by
+    row0*ddy, and each shard bins through its own shifted projection."""
+    from opencl_ray_tracer_tpu import pinhole_camera
+    from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled
+
+    cfg = RenderConfig(width=256, height=128, shading="legacy",
+                       backend="pallas")
+    cam = pinhole_camera(
+        position=(320.0, 240.0, 300.0), look_at=(320.0, 240.0, -85.0),
+        fov_degrees=60.0, width=256, height=128,
+    )
+    mesh = make_mesh(8)
+    sharded = np.asarray(render_sharded(scene1, cam, cfg, mesh=mesh))
+    full = np.asarray(render_tiled(scene1, cam, cfg))
+    frac = np.all(sharded == full, axis=-1).mean()
+    assert frac > 0.995, f"only {frac:.4%} identical"
+    assert np.any(sharded[64:, :, :3] != 0), "lower shards render nothing"
+
+
 def test_sharded_soft_tiled_tall_image(scene1, eight_devices):
     """Tiled SOFT kernel (fwd) inside shard_map with per-shard bins."""
     cfg = RenderConfig(
