@@ -704,24 +704,12 @@ def render_soft_pallas(
     when config.shadows — no silent downgrades). Output float32 (H, W, 4),
     0..255 domain.
 
-    Shared-direction cameras route to the tiled+culled soft kernels
-    (kernels/soft_tiled.py — the fast path); pinhole cameras run the brute
-    streaming kernels in this module."""
+    Both camera families route to the tiled+culled soft kernels
+    (kernels/soft_tiled.py — affine coefficients for shared-direction,
+    projective for pinhole); the brute streaming kernels in this module
+    remain the overflow fallback and the oracle for cross-checks."""
     if interpret is None:
         interpret = _use_interpret()
-    if camera.shared_dir:
-        from opencl_ray_tracer_tpu.kernels.soft_tiled import render_soft_tiled
+    from opencl_ray_tracer_tpu.kernels.soft_tiled import render_soft_tiled
 
-        return render_soft_tiled(scene, camera, config, interpret=interpret)
-    return _soft_render_core(
-        scene.pack(),
-        camera,
-        jnp.float32(config.tau_depth),
-        jnp.float32(config.tau_edge),
-        config.height,
-        config.width,
-        config.shading,
-        config.shadows,
-        camera.normalize,
-        interpret,
-    )
+    return render_soft_tiled(scene, camera, config, interpret=interpret)

@@ -64,6 +64,8 @@ from opencl_ray_tracer_tpu.kernels.fwd import (
     _LIGHT_STRIDE,
     _P_AMBIENT,
     _P_D0,
+    _P_DDX,
+    _P_DDY,
     _P_DOX,
     _P_DOY,
     _P_LIGHTS,
@@ -133,6 +135,53 @@ class SoftBins:
     k_sh_sph: int = dataclasses.field(metadata=dict(static=True), default=0)
     nty: int = dataclasses.field(metadata=dict(static=True), default=0)
     ntx: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # pinhole bins: perspective bboxes, full shared shadow lists
+    projective: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
+
+
+def _pinhole_bboxes_soft(packed, camera, pad):
+    """Perspective screen bboxes of primitives INFLATED by `pad` world
+    units (the sigmoid-tail margin) — project the 8 corners of each
+    primitive's padded AABB; any corner behind the near plane degrades to a
+    conservative full-screen bbox (same scheme as fwd_tiled._pinhole_bboxes).
+    """
+    M = jnp.stack([camera.ddx, camera.ddy, camera.d0], axis=1)
+    Minv = jnp.linalg.inv(M)
+    big = 1e9
+    signs = np.array(
+        [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0)
+         for sz in (-1.0, 1.0)], np.float32,
+    )  # (8, 3)
+
+    def box_of_aabb(lo, hi):  # (N, 3) each
+        ctr = 0.5 * (lo + hi)
+        half = 0.5 * (hi - lo) + pad
+        P = ctr[:, None, :] + half[:, None, :] * signs[None]  # (N, 8, 3)
+        v = jnp.einsum("ij,nkj->nki", Minv, P - camera.o0)
+        w = v[..., 2]
+        front = w > 1e-6
+        ok = jnp.all(front, axis=1)
+        sw = jnp.where(front, w, 1.0)
+        sx = v[..., 0] / sw
+        sy = v[..., 1] / sw
+        ppad = 1.0
+        return (
+            jnp.where(ok, jnp.min(sx, 1) - ppad, -big),
+            jnp.where(ok, jnp.max(sx, 1) + ppad, big),
+            jnp.where(ok, jnp.min(sy, 1) - ppad, -big),
+            jnp.where(ok, jnp.max(sy, 1) + ppad, big),
+        )
+
+    v0 = packed.tri_v0.T
+    v1 = v0 + packed.tri_e1.T
+    v2 = v0 + packed.tri_e2.T
+    tri_lo = jnp.minimum(jnp.minimum(v0, v1), v2)
+    tri_hi = jnp.maximum(jnp.maximum(v0, v1), v2)
+    c = packed.sph_origin.T
+    r = packed.sph_radius[0][:, None]
+    return box_of_aabb(tri_lo, tri_hi), box_of_aabb(c - r, c + r)
 
 
 def _pad_box(box, pad):
@@ -147,15 +196,19 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
     The camera contributes its origin offset (o0.xy): tile rects shift into
     world coordinates so the shard_map camera-shift trick bins correctly
     per row shard."""
-    offs = (camera.o0[0], camera.o0[1])
+    projective = camera.normalize
+    offs = None if projective else (camera.o0[0], camera.o0[1])
     nty = _round_up(height, TILE_H) // TILE_H
     ntx = _round_up(width, TILE_W) // TILE_W
     n_tiles = nty * ntx
     n_lights = packed.lights.position.shape[0]
     pad = SOFT_CULL_SIGMAS * tau_e
-    tri_box, sph_box = _prim_bboxes(packed)
-    tri_box = _pad_box(tri_box, pad)
-    sph_box = _pad_box(sph_box, pad)
+    if projective:
+        tri_box, sph_box = _pinhole_bboxes_soft(packed, camera, pad)
+    else:
+        tri_box, sph_box = _prim_bboxes(packed)
+        tri_box = _pad_box(tri_box, pad)
+        sph_box = _pad_box(sph_box, pad)
 
     k_tri = min(k, _round_up(max(packed.n_tris, 1), CH)) if packed.n_tris else 0
     k_sph = (
@@ -183,14 +236,24 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
         s_valid = jnp.zeros((n_tiles, CH), bool)
         cnt_sph = zero_cnt
 
-    k_sh_tri = (
-        min(shadow_k, _round_up(packed.n_tris, CH))
-        if (shadows and packed.n_tris) else 0
-    )
-    k_sh_sph = (
-        min(shadow_k, _round_up(packed.n_spheres, CH))
-        if (shadows and packed.n_spheres) else 0
-    )
+    # Pinhole shadow rays fan out from hit points anywhere in the tile's
+    # view frustum toward the light; no screen-space corridor bounds the
+    # occluder set, so projective shadow candidates are the FULL primitive
+    # set (one shared table, see _gather_soft_tables).
+    if projective:
+        k_sh_tri = packed.padded_tris if (shadows and packed.n_tris) else 0
+        k_sh_sph = (
+            packed.padded_spheres if (shadows and packed.n_spheres) else 0
+        )
+    else:
+        k_sh_tri = (
+            min(shadow_k, _round_up(packed.n_tris, CH))
+            if (shadows and packed.n_tris) else 0
+        )
+        k_sh_sph = (
+            min(shadow_k, _round_up(packed.n_spheres, CH))
+            if (shadows and packed.n_spheres) else 0
+        )
     lpos = packed.lights.position
 
     def bin_sh(box, n_real, ksh):
@@ -206,13 +269,13 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
             over |= o_
         return jnp.stack(idxs), jnp.stack(valids), over
 
-    if k_sh_tri:
+    if k_sh_tri and not projective:
         tsh_idx, tsh_valid, over = bin_sh(tri_box, packed.n_tris, k_sh_tri)
         overflow |= over
     else:
         tsh_idx = jnp.zeros((n_lights, n_tiles, CH), jnp.int32)
         tsh_valid = jnp.zeros((n_lights, n_tiles, CH), bool)
-    if k_sh_sph:
+    if k_sh_sph and not projective:
         ssh_idx, ssh_valid, over = bin_sh(sph_box, packed.n_spheres, k_sh_sph)
         overflow |= over
     else:
@@ -226,7 +289,7 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
         counts=jnp.stack([cnt_tri, cnt_sph], axis=1),
         overflow=overflow,
         k_tri=k_tri, k_sph=k_sph, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
-        nty=nty, ntx=ntx,
+        nty=nty, ntx=ntx, projective=projective,
     )
 
 
@@ -240,6 +303,13 @@ _NULL_SPH16 = np.array(
     [-1e9, 0, 0, 1e18, 0, 0, 0, 0, 0, 0, 1.0, 0, 0, 0, 1e9, 1.0], np.float32
 )  # tca < 0 and margin = (0 - 1e18) -> both sigmoids 0
 _NULL_TSH16 = np.zeros((16,), np.float32)  # zero verts -> det 0 -> cov 0
+# projective nulls: det == 0 fails |det| >= eps*|d|; tca = -1e9 kills the
+# sphere's facing sigmoid exactly (margin may saturate to 1; the product
+# still underflows to 0).
+_NULL_TRI16_PROJ = np.zeros((16,), np.float32)
+_NULL_SPH16_PROJ = np.array(
+    [-1e9, 0, 0, 0, 0, 1.0, 0, 0, 0, 1e9, 1.0, 0, 0, 0, 0, 0], np.float32
+)
 _NULL_SSH16 = np.array(
     [0, 0, 1e9, 0, 1.0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], np.float32
 )  # far occluder, r2 = 0
@@ -250,11 +320,21 @@ def _gather_soft_tables(packed, camera, tau_e, bins: SoftBins):
     its jax.vjp scatter-adds per-tile gradient tables back onto the
     PackedScene / Camera / tau_e inputs.
 
-    tri16 rows:  [u0,ux,uy, v0,vx,vy, t0,tx,ty, itu,itv,itw, 0 x4]
+    Shared-direction (ortho) rows:
+    tri16:       [u0,ux,uy, v0,vx,vy, t0,tx,ty, itu,itv,itw, 0 x4]
                  (affine Möller–Trumbore + sigmoid scales s/tau_e)
     tri_alb8:    [r,g,b, n(pre-flipped vs shared dir), 0,0]
-    sph16 rows:  [tca0,tcax,tcay, d20,d2x,d2y,d2xx,d2yy,d2xy, r2,
+    sph16:       [tca0,tcax,tcay, d20,d2x,d2y,d2xx,d2yy,d2xy, r2,
                   inv2r, rinv, cx,cy,cz, twor]
+
+    Shared-origin (pinhole, bins.projective) rows:
+    tri16:       [det0,detx,dety, un0,unx,uny, vn0,vnx,vny, tnum,
+                  itu,itv,itw, n(3) UNflipped (flip is per-pixel)]
+    sph16:       [tc0,tcx,tcy, l2, r2, inv2r, rinv, cx,cy,cz, twor, 0 x5]
+    and the shadow tables are the FULL primitive set shared by every tile
+    (leading dim 1).
+
+    Common:
     sph_alb8:    [r,g,b, 0 x5]
     tri_sh16:    [v0(3), e1(3), e2(3), itu,itv,itw, 0 x4]  (geometric)
     sph_sh16:    [cx,cy,cz, r2, inv2r, twor, 0 x10]
@@ -264,7 +344,11 @@ def _gather_soft_tables(packed, camera, tau_e, bins: SoftBins):
         _safe_unit_rows,
     )
 
-    tri9, sph10 = _prep_affine_coefs(packed, camera)  # (9, Tp), (10, Sp)
+    from opencl_ray_tracer_tpu.kernels.fwd_tiled import (
+        _prep_projective_coefs,
+    )
+
+    projective = bins.projective
     e1t, e2t = packed.tri_e1.T, packed.tri_e2.T
     s1 = _safe_norm_rows(e1t)
     s2 = _safe_norm_rows(e2t)
@@ -273,28 +357,46 @@ def _gather_soft_tables(packed, camera, tau_e, bins: SoftBins):
     itw = jnp.maximum(0.5 * (s1 + s2), 1e-6) / tau_e
     tp_ = packed.padded_tris
     sp_ = packed.padded_spheres
-    tri16 = jnp.concatenate(
-        [tri9, itu[None], itv[None], itw[None], jnp.zeros((4, tp_))], axis=0
-    ).T  # (Tp, 16)
-
     n = _safe_unit_rows(jnp.cross(e1t, e2t))
-    d0 = camera.d0
-    fl = jnp.where(jnp.sum(n * d0, -1) > 0, -1.0, 1.0)[:, None]
-    tri_alb8 = jnp.concatenate(
-        [packed.tri_colour.T[:, :3], n * fl, jnp.zeros((tp_, 2))], axis=1
-    )
 
     r = packed.sph_radius[0]
     twor = jnp.maximum(2.0 * r, 1e-6)
     inv2r = 1.0 / twor
     rinv = jnp.where(r > 0, 1.0 / jnp.where(r > 0, r, 1.0), 0.0)
-    sph16 = jnp.concatenate(
-        [
-            sph10, inv2r[None], rinv[None], packed.sph_origin, twor[None],
-            jnp.zeros((0, sp_)),
-        ],
-        axis=0,
-    ).T  # (Sp, 16)
+
+    if projective:
+        tri10, sph5 = _prep_projective_coefs(packed, camera)
+        tri16 = jnp.concatenate(
+            [tri10, itu[None], itv[None], itw[None], n.T], axis=0
+        ).T  # (Tp, 16): normals UNflipped — flip is per-pixel in-kernel
+        tri_alb8 = jnp.concatenate(
+            [packed.tri_colour.T[:, :3], jnp.zeros((tp_, 5))], axis=1
+        )
+        sph16 = jnp.concatenate(
+            [
+                sph5, inv2r[None], rinv[None], packed.sph_origin,
+                twor[None], jnp.zeros((5, sp_)),
+            ],
+            axis=0,
+        ).T  # (Sp, 16)
+    else:
+        tri9, sph10 = _prep_affine_coefs(packed, camera)
+        tri16 = jnp.concatenate(
+            [tri9, itu[None], itv[None], itw[None], jnp.zeros((4, tp_))],
+            axis=0,
+        ).T  # (Tp, 16)
+        d0 = camera.d0
+        fl = jnp.where(jnp.sum(n * d0, -1) > 0, -1.0, 1.0)[:, None]
+        tri_alb8 = jnp.concatenate(
+            [packed.tri_colour.T[:, :3], n * fl, jnp.zeros((tp_, 2))], axis=1
+        )
+        sph16 = jnp.concatenate(
+            [
+                sph10, inv2r[None], rinv[None], packed.sph_origin,
+                twor[None], jnp.zeros((0, sp_)),
+            ],
+            axis=0,
+        ).T  # (Sp, 16)
     sph_alb8 = jnp.concatenate(
         [packed.sph_colour.T[:, :3], jnp.zeros((sp_, 5))], axis=1
     )
@@ -318,25 +420,49 @@ def _gather_soft_tables(packed, camera, tau_e, bins: SoftBins):
         g = rows[idx]
         return jnp.where(valid[..., None], g, null)
 
-    tri_t = gather(tri16, bins.t_idx, bins.t_valid, _NULL_TRI16)
+    null_tri = _NULL_TRI16_PROJ if projective else _NULL_TRI16
+    null_sph = _NULL_SPH16_PROJ if projective else _NULL_SPH16
+    tri_t = gather(tri16, bins.t_idx, bins.t_valid, null_tri)
     tri_alb_t = gather(tri_alb8, bins.t_idx, bins.t_valid, 0.0)
-    sph_t = gather(sph16, bins.s_idx, bins.s_valid, _NULL_SPH16)
+    sph_t = gather(sph16, bins.s_idx, bins.s_valid, null_sph)
     sph_alb_t = gather(sph_alb8, bins.s_idx, bins.s_valid, 0.0)
-    n_lights = bins.tsh_idx.shape[0]
-    tsh_t = jnp.concatenate(
-        [
-            gather(tri_sh16, bins.tsh_idx[li], bins.tsh_valid[li], _NULL_TSH16)
-            for li in range(n_lights)
-        ],
-        axis=1,
-    )  # (n_tiles, L*k_sh_tri, 16)
-    ssh_t = jnp.concatenate(
-        [
-            gather(sph_sh16, bins.ssh_idx[li], bins.ssh_valid[li], _NULL_SSH16)
-            for li in range(n_lights)
-        ],
-        axis=1,
-    )
+    n_lights = packed.lights.position.shape[0]
+    if projective:
+        # full shared shadow lists, one table used by every tile (the
+        # kernels pin the shadow block specs to block 0)
+        real_t = (jnp.arange(tp_) < packed.n_tris)[:, None]
+        real_s = (jnp.arange(sp_) < packed.n_spheres)[:, None]
+        tsh_rows = jnp.where(real_t, tri_sh16, _NULL_TSH16)
+        ssh_rows = jnp.where(real_s, sph_sh16, _NULL_SSH16)
+        kt = max(bins.k_sh_tri, CH)
+        ks = max(bins.k_sh_sph, CH)
+        tsh_t = jnp.broadcast_to(
+            tsh_rows[:kt][None], (n_lights, kt, 16)
+        ).reshape(1, n_lights * kt, 16)
+        ssh_t = jnp.broadcast_to(
+            ssh_rows[:ks][None], (n_lights, ks, 16)
+        ).reshape(1, n_lights * ks, 16)
+    else:
+        tsh_t = jnp.concatenate(
+            [
+                gather(
+                    tri_sh16, bins.tsh_idx[li], bins.tsh_valid[li],
+                    _NULL_TSH16,
+                )
+                for li in range(n_lights)
+            ],
+            axis=1,
+        )  # (n_tiles, L*k_sh_tri, 16)
+        ssh_t = jnp.concatenate(
+            [
+                gather(
+                    sph_sh16, bins.ssh_idx[li], bins.ssh_valid[li],
+                    _NULL_SSH16,
+                )
+                for li in range(n_lights)
+            ],
+            axis=1,
+        )
     return tri_t, tri_alb_t, sph_t, sph_alb_t, tsh_t, ssh_t
 
 
@@ -357,6 +483,7 @@ def _tile_soft_T(
     shading: str,
     shadows: bool,
     tp: int,
+    projective: bool = False,
 ):
     """One SUB_PIX strip of the tiled soft renderer as a pure array function.
 
@@ -364,8 +491,26 @@ def _tile_soft_T(
     (8, tp) rows [r, g, b, alpha, 0...]. Formulas are kernels/soft.py's
     _tile_soft_math in the transposed layout (primitives on sublanes);
     diff/soft.py is the independent oracle for both.
+
+    projective: shared-origin pinhole camera — d becomes the per-pixel UNIT
+    direction (so every downstream use of `d` keeps world-distance t
+    semantics), and the candidate tests consume projective coefficients.
     """
-    d = (pv[_P_D0], pv[_P_D0 + 1], pv[_P_D0 + 2])  # shared-dir scalars
+    if projective:
+        du = tuple(
+            pv[_P_D0 + q]
+            + x * pv[_P_DDX + q]
+            + y * pv[_P_DDY + q]
+            for q in range(3)
+        )
+        len2 = jnp.maximum(
+            du[0] * du[0] + du[1] * du[1] + du[2] * du[2], 1e-20
+        )
+        inv_len = jax.lax.rsqrt(len2)
+        len_d = len2 * inv_len
+        d = tuple(c_ * inv_len for c_ in du)  # unit, (1, tp)
+    else:
+        d = (pv[_P_D0], pv[_P_D0 + 1], pv[_P_D0 + 2])  # shared-dir scalars
     o = tuple(
         pv[_P_O0 + q] + x * pv[_P_DOX + q] + y * pv[_P_DOY + q]
         for q in range(3)
@@ -374,42 +519,90 @@ def _tile_soft_T(
     inv_td = 1.0 / tau_d
     inv_te = 1.0 / tau_e
     inv_te6 = 1.0 / jnp.maximum(tau_e, 1e-6)
-    x2, y2, xy = x * x, y * y, x * y
+    if not projective:
+        x2, y2, xy = x * x, y * y, x * y  # quadratic sphere terms (ortho)
     zeros1 = jnp.zeros((1, tp), jnp.float32)
 
     def tcol(tab, cs, q):
         return tab[cs : cs + CH, q : q + 1]  # (CH, 1)
 
-    # -- primary candidate tests (affine coefficients) -----------------------
-    def tri_chunk(cs):
-        c = lambda q: tcol(tri_t, cs, q)
-        u = c(0) + x * c(1) + y * c(2)
-        v = c(3) + x * c(4) + y * c(5)
-        t = c(6) + x * c(7) + y * c(8)
-        cov = (
-            jax.nn.sigmoid(u * c(9))
-            * jax.nn.sigmoid(v * c(10))
-            * jax.nn.sigmoid((1.0 - u - v) * c(11))
-        )
-        return t, cov
+    # -- primary candidate tests --------------------------------------------
+    # tri_chunk returns (t, cov, n_or_None): ortho folds the pre-flipped
+    # normal into the albedo matmul (n is None); projective flips the
+    # stored unit normal per pixel and returns it for explicit aggregation.
+    if projective:
+        def tri_chunk(cs):
+            c = lambda q: tcol(tri_t, cs, q)
+            det = c(0) + x * c(1) + y * c(2)
+            un = c(3) + x * c(4) + y * c(5)
+            vn = c(6) + x * c(7) + y * c(8)
+            det_ok = jnp.abs(det) >= EPSILON * len_d
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+            u = un * inv_det
+            v = vn * inv_det
+            t = c(9) * inv_det * len_d
+            cov = (
+                jax.nn.sigmoid(u * c(10))
+                * jax.nn.sigmoid(v * c(11))
+                * jax.nn.sigmoid((1.0 - u - v) * c(12))
+            )
+            cov = jnp.where(det_ok, cov, 0.0)
+            n0 = (c(13), c(14), c(15))
+            ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
+            fl = jnp.where(ndotd > 0, -1.0, 1.0)
+            return t, cov, (n0[0] * fl, n0[1] * fl, n0[2] * fl)
 
-    def sph_chunk(cs):
-        c = lambda q: tcol(sph_t, cs, q)
-        tca = c(0) + x * c(1) + y * c(2)
-        d2 = (
-            c(3) + x * c(4) + y * c(5) + x2 * c(6) + y2 * c(7) + xy * c(8)
-        )
-        r2, inv2r, rinv = c(9), c(10), c(11)
-        margin = (r2 - d2) * inv2r
-        cov = jax.nn.sigmoid(margin * inv_te) * jax.nn.sigmoid(tca * inv_te6)
-        q_ = r2 - d2
-        beta = jnp.maximum(tau_e, 1e-3) * c(15)
-        thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
-        t = tca - thc
-        nx = (o[0] + t * d[0] - c(12)) * rinv
-        ny = (o[1] + t * d[1] - c(13)) * rinv
-        nz = (o[2] + t * d[2] - c(14)) * rinv
-        return t, cov, (nx, ny, nz)
+        def sph_chunk(cs):
+            c = lambda q: tcol(sph_t, cs, q)
+            tca = (c(0) + x * c(1) + y * c(2)) * inv_len
+            d2 = c(3) - tca * tca
+            r2, inv2r, rinv = c(4), c(5), c(6)
+            margin = (r2 - d2) * inv2r
+            cov = (
+                jax.nn.sigmoid(margin * inv_te)
+                * jax.nn.sigmoid(tca * inv_te6)
+            )
+            q_ = r2 - d2
+            beta = jnp.maximum(tau_e, 1e-3) * c(10)
+            thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
+            t = tca - thc
+            nx = (o[0] + t * d[0] - c(7)) * rinv
+            ny = (o[1] + t * d[1] - c(8)) * rinv
+            nz = (o[2] + t * d[2] - c(9)) * rinv
+            return t, cov, (nx, ny, nz)
+    else:
+        def tri_chunk(cs):
+            c = lambda q: tcol(tri_t, cs, q)
+            u = c(0) + x * c(1) + y * c(2)
+            v = c(3) + x * c(4) + y * c(5)
+            t = c(6) + x * c(7) + y * c(8)
+            cov = (
+                jax.nn.sigmoid(u * c(9))
+                * jax.nn.sigmoid(v * c(10))
+                * jax.nn.sigmoid((1.0 - u - v) * c(11))
+            )
+            return t, cov, None
+
+        def sph_chunk(cs):
+            c = lambda q: tcol(sph_t, cs, q)
+            tca = c(0) + x * c(1) + y * c(2)
+            d2 = (
+                c(3) + x * c(4) + y * c(5) + x2 * c(6) + y2 * c(7) + xy * c(8)
+            )
+            r2, inv2r, rinv = c(9), c(10), c(11)
+            margin = (r2 - d2) * inv2r
+            cov = (
+                jax.nn.sigmoid(margin * inv_te)
+                * jax.nn.sigmoid(tca * inv_te6)
+            )
+            q_ = r2 - d2
+            beta = jnp.maximum(tau_e, 1e-3) * c(15)
+            thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
+            t = tca - thc
+            nx = (o[0] + t * d[0] - c(12)) * rinv
+            ny = (o[1] + t * d[1] - c(13)) * rinv
+            nz = (o[2] + t * d[2] - c(14)) * rinv
+            return t, cov, (nx, ny, nz)
 
     # -- shadow occluder tests (geometric: per-pixel shadow-ray dirs) --------
     def tri_sh_chunk(base, so, sd):
@@ -476,7 +669,7 @@ def _tile_soft_T(
         z, sr, sg, sb_, bacc = zeros1, zeros1, zeros1, zeros1, zeros1
         for kind, cs in chunks:
             if kind == "tri":
-                t, cov = tri_chunk(cs)
+                t, cov, n = tri_chunk(cs)
                 alb = tri_alb[cs : cs + CH, :]
             else:
                 t, cov, n = sph_chunk(cs)
@@ -498,8 +691,10 @@ def _tile_soft_T(
                 px = o[0] + t * d[0]
                 py = o[1] + t * d[1]
                 pz = o[2] + t * d[2]
-                if kind == "tri":
-                    # pre-flipped unit normal columns
+                if kind == "tri" and n is None:
+                    # ortho: pre-flipped unit normal columns from the
+                    # albedo table (projective tri_chunk already returned
+                    # per-pixel flipped normals)
                     n = (
                         tcol(tri_alb, cs, 3),
                         tcol(tri_alb, cs, 4),
@@ -547,9 +742,8 @@ def _tile_soft_T(
         s8 = jnp.zeros((8, tp), jnp.float32)    # rgb + tri normals via MXU
         for kind, cs in chunks:
             if kind == "tri":
-                t, cov = tri_chunk(cs)
+                t, cov, n = tri_chunk(cs)
                 alb = tri_alb[cs : cs + CH, :]
-                n = None
             else:
                 t, cov, n = sph_chunk(cs)
                 alb = sph_alb[cs : cs + CH, :]
@@ -561,7 +755,8 @@ def _tile_soft_T(
             z = z * scale + jnp.sum(e, axis=0, keepdims=True)
             st = st * scale + jnp.sum(e * t, axis=0, keepdims=True)
             s8 = s8 * scale + _dot_attr(alb, e)
-            if kind == "sph":
+            if n is not None:
+                # per-pixel normals (spheres always; projective tris too)
                 snx = snx * scale + jnp.sum(e * n[0], axis=0, keepdims=True)
                 sny = sny * scale + jnp.sum(e * n[1], axis=0, keepdims=True)
                 snz = snz * scale + jnp.sum(e * n[2], axis=0, keepdims=True)
@@ -753,6 +948,11 @@ def _soft_tiled_fwd_pallas(
     tile3 = lambda shape: pl.BlockSpec(
         (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    # projective shadow tables are one shared block for every tile
+    shared3 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sh_spec = shared3 if cfg["projective"] else tile3
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
@@ -765,8 +965,8 @@ def _soft_tiled_fwd_pallas(
             tile3(tri_alb.shape),
             tile3(sph_t.shape),
             tile3(sph_alb.shape),
-            tile3(tsh_t.shape),
-            tile3(ssh_t.shape),
+            sh_spec(tsh_t.shape),
+            sh_spec(ssh_t.shape),
         ],
         out_specs=pl.BlockSpec(
             (1, 8, sub), lambda i, sb: (i, 0, sb), memory_space=pltpu.VMEM
@@ -795,6 +995,8 @@ def _soft_tiled_bwd_pallas(
     n_sub = TILE_PIX // sub
     cfg = dict(cfg, tp=sub)
 
+    projective = cfg["projective"]
+
     def kernel(params_ref, taus_ref, counts_ref, tt, ta, st_, sa, tsh, ssh,
                g_ref, d_tt, d_ta, d_st, d_sa, d_tsh, d_ssh, d_par, d_tau):
         i = pl.program_id(0)
@@ -811,10 +1013,17 @@ def _soft_tiled_bwd_pallas(
             d_ta[0] = jnp.zeros(d_ta.shape[1:], jnp.float32)
             d_st[0] = jnp.zeros(d_st.shape[1:], jnp.float32)
             d_sa[0] = jnp.zeros(d_sa.shape[1:], jnp.float32)
-            d_tsh[0] = jnp.zeros(d_tsh.shape[1:], jnp.float32)
-            d_ssh[0] = jnp.zeros(d_ssh.shape[1:], jnp.float32)
             d_par[0] = jnp.zeros(d_par.shape[1:], jnp.float32)
             d_tau[0] = jnp.zeros(d_tau.shape[1:], jnp.float32)
+
+        # projective shadow-grad blocks are SHARED by all tiles (block 0):
+        # init once at the very first grid step, accumulate across all.
+        sh_init = ((i == 0) & (sb == 0)) if projective else (sb == 0)
+
+        @pl.when(sh_init)
+        def _():
+            d_tsh[0] = jnp.zeros(d_tsh.shape[1:], jnp.float32)
+            d_ssh[0] = jnp.zeros(d_ssh.shape[1:], jnp.float32)
 
         @pl.when(jnp.logical_not(empty))
         def _():
@@ -848,10 +1057,19 @@ def _soft_tiled_bwd_pallas(
     tile3 = lambda shape: pl.BlockSpec(
         (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    shared3 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sh_spec = shared3 if projective else tile3
     f32 = jnp.float32
     shapes = [tri_t.shape, tri_alb.shape, sph_t.shape, sph_alb.shape,
               tsh_t.shape, ssh_t.shape, (n_tiles, 1, n_params),
               (n_tiles, 1, 2)]
+    out_specs = (
+        tile3(shapes[0]), tile3(shapes[1]), tile3(shapes[2]),
+        tile3(shapes[3]), sh_spec(shapes[4]), sh_spec(shapes[5]),
+        tile3(shapes[6]), tile3(shapes[7]),
+    )
     return pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct(s, f32) for s in shapes),
@@ -864,13 +1082,13 @@ def _soft_tiled_bwd_pallas(
             tile3(tri_alb.shape),
             tile3(sph_t.shape),
             tile3(sph_alb.shape),
-            tile3(tsh_t.shape),
-            tile3(ssh_t.shape),
+            sh_spec(tsh_t.shape),
+            sh_spec(ssh_t.shape),
             pl.BlockSpec(
                 (1, 8, sub), lambda i, sb: (i, 0, sb), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=tuple(tile3(s) for s in shapes),
+        out_specs=out_specs,
         compiler_params=pltpu.CompilerParams(
             # sub-block accumulation into revisited per-tile blocks needs
             # in-order execution of the minor dimension.
@@ -892,6 +1110,7 @@ def _soft_cfg(bins: SoftBins, packed, shading, shadows, tp):
         shading=shading,
         shadows=shadows,
         tp=tp,
+        projective=bins.projective,
     )
 
 
@@ -961,7 +1180,7 @@ def _soft_tiled_fwd_core(
         return _soft_pallas_fwd(
             p, c, td, te,
             height=height, width=width, shading=shading, shadows=shadows,
-            normalize_dir=False, interpret=interpret,
+            normalize_dir=camera.normalize, interpret=interpret,
         )
 
     out = jax.lax.cond(
@@ -1016,7 +1235,7 @@ def _soft_tiled_vjp_bwd(
     def brute_bwd(args):
         packed_, camera_, td, te, g_ = args
         return _brute_soft_bwd(
-            height, width, shading, shadows, False, interpret,
+            height, width, shading, shadows, camera.normalize, interpret,
             (packed_, camera_, td, te), g_,
         )
 
@@ -1035,17 +1254,14 @@ def render_soft_tiled(
     config: RenderConfig,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Tiled+culled soft differentiable render (shared-direction cameras).
+    """Tiled+culled soft differentiable render, fused Pallas fwd AND bwd.
 
-    Fused Pallas forward AND backward with per-tile candidate culling; any
-    tile exceeding config.cull_k / shadow_cull_k candidates falls back to
-    the brute soft kernel for the frame (lax.cond — never silently wrong).
-    Output float32 (H, W, 4), 0..255 domain."""
-    if camera.normalize:
-        raise ValueError(
-            "render_soft_tiled requires a shared-direction camera; "
-            "use render_soft_pallas for pinhole cameras"
-        )
+    Covers both camera families: shared-direction (affine soft
+    coefficients) and shared-origin pinhole (projective coefficients; full
+    shared shadow-occluder tables, since no screen-space corridor bounds
+    pinhole shadow rays). Any tile exceeding config.cull_k / shadow_cull_k
+    candidates falls back to the brute soft kernel for the frame (lax.cond
+    — never silently wrong). Output float32 (H, W, 4), 0..255 domain."""
     if interpret is None:
         interpret = _use_interpret()
     packed = scene.pack() if hasattr(scene, "pack") else scene

@@ -122,6 +122,65 @@ def test_tiled_soft_overflow_falls_back_to_brute():
     assert np.any(np.asarray(g.sph_origin) != 0)
 
 
+def pinhole_cam():
+    from opencl_ray_tracer_tpu import pinhole_camera
+
+    return pinhole_camera(
+        position=(128.0, 64.0, 200.0), look_at=(128.0, 64.0, -60.0),
+        fov_degrees=65.0, width=W, height=H,
+    )
+
+
+def brute_pinhole(packed, cam, c):
+    return _soft_render_core(
+        packed, cam, jnp.float32(c.tau_depth), jnp.float32(c.tau_edge),
+        c.height, c.width, c.shading, c.shadows, True, True,
+    )
+
+
+@pytest.mark.parametrize(
+    "shading,shadows", [("lambert", False), ("phong", True)]
+)
+def test_projective_tiled_soft_matches_brute(scene, shading, shadows):
+    """Pinhole camera through the projective tiled soft path == brute soft
+    kernel (which evaluates geometric Möller–Trumbore on normalized dirs)."""
+    cam = pinhole_cam()
+    c = cfg(shading=shading, shadows=shadows)
+    t = np.asarray(render_soft_tiled(scene, cam, c, interpret=True))
+    b = np.asarray(brute_pinhole(scene.pack(), cam, c))
+    assert (t[..., :3] > 1.0).any(), "pinhole sees nothing"
+    err = np.abs(t - b)
+    assert np.percentile(err, 99.9) < 0.1, np.percentile(err, 99.9)
+    assert err.max() < 1.0, err.max()
+
+
+def test_projective_tiled_soft_grads_match_brute(scene):
+    cam = pinhole_cam()
+    c = cfg("phong", True)
+    packed = scene.pack()
+
+    gt = jax.grad(lambda p: jnp.mean(
+        render_soft_tiled(p, cam, c, interpret=True)[..., :3] ** 2
+    ))(packed)
+    gb = jax.grad(lambda p: jnp.mean(
+        brute_pinhole(p, cam, c)[..., :3] ** 2
+    ))(packed)
+    for name in ("sph_origin", "sph_radius", "tri_v0", "tri_e1"):
+        a, b = np.asarray(getattr(gt, name)), np.asarray(getattr(gb, name))
+        assert np.any(a != 0), f"zero grad for {name}"
+        assert np.all(np.isfinite(a)), f"non-finite grad for {name}"
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-3,
+                                   err_msg=name)
+    a = np.asarray(gt.lights.position)
+    b = np.asarray(gb.lights.position)
+    assert np.any(a != 0)
+    np.testing.assert_allclose(
+        a / (np.abs(b).max() + 1e-12), b / (np.abs(b).max() + 1e-12),
+        atol=2e-3,
+    )
+
+
 def test_tiled_soft_saturation_pin(scene):
     """Saturated pixels: forward values clip identically in kernel and twin
     (both clip POST-aggregation), and gradients through saturated pixels are
