@@ -35,6 +35,7 @@ from opencl_ray_tracer_tpu.parallel.mesh import (
     shift_camera_rows,
 )
 from opencl_ray_tracer_tpu.diff.soft import render_soft_jit
+from opencl_ray_tracer_tpu.kernels.soft import render_soft_pallas
 
 
 class TrainState(NamedTuple):
@@ -63,20 +64,30 @@ def make_train_step(
     if h % n:
         raise ValueError(f"height {h} not divisible by mesh size {n}")
     h_local = h // n
-    shading = config.shading if config.shading != "phong" else "lambert"
     inv_npix = 1.0 / (h * w * 3.0)
+    # The engine: the fused Pallas soft fwd+bwd kernels (tiled+culled, all
+    # shading modes native — no downgrades). backend="xla"/"reference"
+    # selects the pure-jnp twin, kept as the slow oracle for cross-checks.
+    use_pallas = config.backend == "pallas"
+    local_cfg = config.replace(
+        height=h_local, width=w, soft=True, framebuffer_dtype="float"
+    )
 
     def local_loss(scene, camera_, target_local, row0):
         cam_local = shift_camera_rows(camera_, row0)
-        img = render_soft_jit(
-            scene,
-            cam_local,
-            jnp.float32(config.tau_depth),
-            jnp.float32(config.tau_edge),
-            height=h_local,
-            width=w,
-            shading=shading,
-        )
+        if use_pallas:
+            img = render_soft_pallas(scene, cam_local, local_cfg)
+        else:
+            img = render_soft_jit(
+                scene,
+                cam_local,
+                jnp.float32(config.tau_depth),
+                jnp.float32(config.tau_edge),
+                height=h_local,
+                width=w,
+                shading=config.shading,
+                shadows=config.shadows,
+            )
         diff = (img[..., :3] - target_local[..., :3]) * (1.0 / 255.0)
         return jnp.sum(diff * diff) * inv_npix
 
