@@ -97,6 +97,163 @@ def bench_fwd_bwd_soft(scene, config, cam=None, n_frames=20):
     return us, rays_per_s
 
 
+def bench_train_step(scene, config, cam=None, n_steps=10):
+    """Full distributed train-step time on a 1-device mesh: fused Pallas soft
+    fwd+bwd inside shard_map + psum + optax update (parallel/train.py) — the
+    production inverse-rendering hot loop, optimizer state carried step to
+    step (so CSE can't collapse the scan)."""
+    import optax
+
+    from opencl_ray_tracer_tpu.parallel import (
+        init_train_state,
+        make_mesh,
+        make_train_step,
+        replicate,
+        shard_rows,
+    )
+
+    cam = cam or legacy_ortho_camera()
+    mesh = make_mesh(1)
+    optimizer = optax.adam(1e-3)
+    step = make_train_step(cam, config, optimizer, mesh=mesh)
+    target = shard_rows(
+        jnp.zeros((config.height, config.width, 4), jnp.float32), mesh
+    )
+    state0 = init_train_state(replicate(scene, mesh), optimizer)
+
+    @jax.jit
+    def run(state):
+        def body(s, _):
+            s2, loss = step(s, target)
+            return s2, loss
+
+        s, losses = jax.lax.scan(body, state, None, length=n_steps)
+        return losses[-1]
+
+    import time
+
+    out = run(state0)
+    jax.block_until_ready(out)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter_ns()
+        out = run(state0)
+        jax.block_until_ready(out)
+        samples.append((time.perf_counter_ns() - t0) / 1e3 / n_steps)
+    samples.sort()
+    us = samples[1]
+    rays_per_s = (config.width * config.height) / (us / 1e6)
+    return us, rays_per_s
+
+
+def bench_sharded_overhead(scene, config, cam=None, n_frames=50):
+    """render_sharded on a 1-device mesh vs the direct tiled call WITH
+    in-graph binning (like-for-like: the sharded path bins per shard inside
+    the graph too) — isolates the shard_map wrapping overhead on the real
+    chip (the honest single-chip stand-in; real 2-host numbers need pod HW).
+    Returns (us_sharded, us_unsharded)."""
+    from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled
+    from opencl_ray_tracer_tpu.parallel import make_mesh
+    from opencl_ray_tracer_tpu.parallel.mesh import render_sharded
+
+    cam = cam or legacy_ortho_camera()
+    mesh = make_mesh(1)
+    fn_sh = lambda c: render_sharded(scene, c, config, mesh=mesh)
+    us_sh = device_frame_time_us(fn_sh, cam, n_frames=n_frames)
+    fn_un = lambda c: render_tiled(scene, c, config)
+    us_un = device_frame_time_us(fn_un, cam, n_frames=n_frames)
+    return us_sh, us_un
+
+
+# -- sharding efficiency on the virtual CPU mesh (subprocess worker) --------
+SCALE_W, SCALE_H = 256, 256  # FIXED total work, sharded n ways
+
+
+def scaling_worker(n_devices: int) -> None:
+    """Sharding-efficiency worker: CPU mesh of n devices, fixed total
+    SCALE_H rows sharded n ways. The virtual devices share this host's few
+    cores, so weak scaling is unmeasurable here — but fixed-total-work IS:
+    ideal is t(n) == t(1) (same compute, same cores) and any rise is the
+    shard_map + psum + per-shard-dispatch overhead of the n-way program.
+    Real inter-host throughput scaling needs pod hardware (BASELINE.md).
+
+    Run in a JAX_PLATFORMS=cpu subprocess (the parent process' backend is
+    pinned to the one TPU chip). Uses the jnp-twin engine (backend="xla"):
+    interpret-mode Pallas on CPU measures the Python interpreter, not the
+    communication structure this row exists to measure — the kernel engine's
+    on-chip time is covered by the train-step row. Prints one JSON line."""
+    import optax
+
+    from opencl_ray_tracer_tpu.parallel import (
+        init_train_state,
+        make_mesh,
+        make_train_step,
+        replicate,
+        shard_rows,
+    )
+    from opencl_ray_tracer_tpu.scene import create_scene
+
+    h = SCALE_H
+    config = RenderConfig(
+        width=SCALE_W, height=h, shading="lambert", soft=True,
+        framebuffer_dtype="float", backend="xla",
+    )
+    cam = legacy_ortho_camera()
+    scene = create_scene(1)
+    mesh = make_mesh(n_devices)
+    optimizer = optax.adam(1e-3)
+    step = make_train_step(cam, config, optimizer, mesh=mesh)
+    target = shard_rows(jnp.zeros((h, SCALE_W, 4), jnp.float32), mesh)
+    state = init_train_state(replicate(scene, mesh), optimizer)
+
+    import time
+
+    state, loss = step(state, target)  # compile + warm
+    jax.block_until_ready(loss)
+    n_steps = 10
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter_ns()
+        for _ in range(n_steps):
+            state, loss = step(state, target)
+        jax.block_until_ready(loss)
+        samples.append((time.perf_counter_ns() - t0) / 1e3 / n_steps)
+    samples.sort()
+    print(json.dumps({"n": n_devices, "us_per_step": samples[1]}))
+
+
+def bench_weak_scaling() -> dict:
+    """Launch CPU-mesh sharding-efficiency workers for n=1,2,4,8; efficiency
+    is t(1)/t(n) at FIXED total work (ideal 1.0 on shared cores; the drop is
+    the n-way program's sharding overhead). Validates the communication /
+    sharding structure, not ICI bandwidth — that needs pod hardware."""
+    import os
+    import subprocess
+
+    results = {}
+    for n in (1, 2, 4, 8):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append(f"--xla_force_host_platform_device_count={n}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker",
+             str(n)],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        if proc.returncode != 0:
+            print(f"# scaling worker n={n} failed: {proc.stderr[-300:]}",
+                  file=sys.stderr)
+            continue
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)["us_per_step"]
+    return results
+
+
 def row(label, us, rays):
     print(f"# {label}: {us:.0f} us/frame -> {rays:.3e} rays/s", file=sys.stderr)
 
@@ -113,7 +270,18 @@ def main(argv=None) -> None:
     ap.add_argument("--cull-k", type=int, default=None)
     ap.add_argument("--skip-context", action="store_true",
                     help="headline fwd + fwd/bwd rows only")
+    ap.add_argument("--scaling-worker", type=int, default=None,
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--skip-scaling", action="store_true",
+                    help="skip the CPU-mesh weak-scaling subprocess rows")
     args = ap.parse_args(argv)
+
+    if args.scaling_worker is not None:
+        # Subprocess mode: force the CPU mesh before first backend use (the
+        # session sitecustomize can pin the platform programmatically).
+        jax.config.update("jax_platforms", "cpu")
+        scaling_worker(args.scaling_worker)
+        return
 
     dev = jax.devices()[0]
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
@@ -212,8 +380,58 @@ def main(argv=None) -> None:
             )
             u5, r5 = bench_config(scene_4k, cfg_4k, tiled=True, n_frames=30)
             row("tiled legacy 4K 100sph+100cubes (1200 tris, k=96)", u5, r5)
+            # pinhole rows through the projective tiled paths (VERDICT r2 #8)
+            u6, r6 = bench_config(scene_hl, cfg_hl, cam=cam_ph, tiled=True)
+            row("tiled phong+shadows 1080p pinhole", u6, r6)
+            u7, r7 = bench_fwd_bwd_soft(scene_hl, cfg_soft, cam=cam_ph)
+            row("fwd+bwd soft phong+shadows 1080p pinhole", u7, r7)
         except Exception as e:  # context rows must never kill the headline
             print(f"# context bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # distributed train step on the real chip (the fused engine end-to-end)
+    try:
+        us_ts, rays_ts = bench_train_step(scene_hl, cfg_soft)
+        row("train step (shard_map+psum+adam) soft phong+shadows 1080p",
+            us_ts, rays_ts)
+    except Exception as e:
+        print(f"# train-step bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        us_ts, rays_ts = float("nan"), 0.0
+
+    # shard_map wrapping overhead on a 1-device mesh (single-chip stand-in
+    # for the sharded fwd path; real multi-host needs pod hardware)
+    sharded_overhead = None
+    try:
+        us_sh, us_un = bench_sharded_overhead(scene_hl, cfg_hl)
+        sharded_overhead = us_sh / us_un - 1.0
+        print(
+            f"# sharded fwd (1-device mesh): {us_sh:.0f} us/frame vs "
+            f"{us_un:.0f} unsharded, both with in-graph binning "
+            f"(shard_map overhead {100.0 * sharded_overhead:+.1f}%)",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"# sharded-overhead bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # weak scaling of the sharded train step on the virtual CPU mesh
+    scaling_eff = None
+    if not args.skip_scaling:
+        try:
+            sc = bench_weak_scaling()
+            if sc and 1 in sc:
+                for n in sorted(sc):
+                    eff = sc[1] / sc[n]
+                    print(
+                        f"# sharding efficiency (CPU mesh, fixed "
+                        f"{SCALE_H}x{SCALE_W}): n={n} {sc[n]:.0f} us/step "
+                        f"efficiency={eff:.2f}",
+                        file=sys.stderr,
+                    )
+                scaling_eff = sc[1] / sc[max(sc)]
+        except Exception as e:
+            print(f"# weak-scaling bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     print(
@@ -227,6 +445,17 @@ def main(argv=None) -> None:
                 "sol_bound": sol["bound"],
                 "fwd_bwd_rays_per_s": rays_g,
                 "fwd_bwd_vs_target": rays_g / TARGET_FWDBWD_RAYS_PER_S,
+                "train_step_us": None if us_ts != us_ts else round(us_ts),
+                **(
+                    {"sharding_eff_8dev_fixed_work": round(scaling_eff, 3)}
+                    if scaling_eff is not None
+                    else {}
+                ),
+                **(
+                    {"shard_map_overhead": round(sharded_overhead, 4)}
+                    if sharded_overhead is not None
+                    else {}
+                ),
             }
         )
     )
