@@ -9,7 +9,14 @@ app shell works headless (tests, scripted benchmark runs) and from a TTY."""
 from __future__ import annotations
 
 import enum
-from typing import Dict, Iterable, Set
+from typing import Dict, Iterable, List, Optional, Set, Tuple
+
+from opencl_ray_tracer_tpu.app.controller import (
+    Axis1D,
+    Axis2D,
+    Button,
+    Controller,
+)
 
 
 class ButtonState(enum.Enum):
@@ -32,6 +39,10 @@ class InputManager:
         self._pending_mouse_pos = None
         self._wheel = 0
         self._pending_wheel = 0
+        # gamepads (InputManager.h:129-210): index-addressed pad list +
+        # a global 2-D-stick deadzone (InputManager.cpp:258 default 0.2)
+        self._gamepads: List[Controller] = []
+        self._deadzone = 0.2
 
     # -- event feeding (the SDL_Event pump role) ---------------------------
     def feed_key_down(self, key: str) -> None:
@@ -98,6 +109,9 @@ class InputManager:
         self._wheel = self._pending_wheel
         self._pending_wheel = 0
 
+        for pad in self._gamepads:
+            pad.update()
+
     # -- queries (InputManager.h API shape) ---------------------------------
     def was_key_pressed(self, key: str) -> bool:
         return self._keys.get(key) == ButtonState.PRESSED
@@ -134,3 +148,68 @@ class InputManager:
 
     def was_mouse_released(self, button: str = "left") -> bool:
         return self.was_key_released(f"mouse:{button}")
+
+    # -- gamepads (InputManager.h controller surface) ------------------------
+    def add_controller(self, name: str = "virtual-pad",
+                       rumble_supported: bool = True) -> Controller:
+        """Attach a pad (the SDL_CONTROLLERDEVICEADDED role,
+        InputManager.cpp addController) and return it for event feeding."""
+        pad = Controller(len(self._gamepads), name, rumble_supported)
+        self._gamepads.append(pad)
+        return pad
+
+    def remove_controller(self, index: int) -> None:
+        if 0 <= index < len(self._gamepads):
+            del self._gamepads[index]
+
+    def get_num_controllers(self) -> int:
+        return len(self._gamepads)
+
+    def _pad(self, index: int) -> Optional[Controller]:
+        """Index guard: invalid pads answer False/0 like the reference's
+        bounds-checked front-end, never raise."""
+        if 0 <= index < len(self._gamepads):
+            return self._gamepads[index]
+        return None
+
+    def was_controller_button_pressed(self, index: int, button: Button) -> bool:
+        pad = self._pad(index)
+        return pad.was_button_pressed(button) if pad else False
+
+    def is_controller_button_held(self, index: int, button: Button) -> bool:
+        pad = self._pad(index)
+        return pad.is_button_held(button) if pad else False
+
+    def was_controller_button_released(self, index: int, button: Button) -> bool:
+        pad = self._pad(index)
+        return pad.was_button_released(button) if pad else False
+
+    def get_controller_axis_1d(self, index: int, axis: Axis1D) -> float:
+        pad = self._pad(index)
+        return pad.get_axis_1d(axis) if pad else 0.0
+
+    def get_controller_axis_2d(self, index: int,
+                               axis: Axis2D) -> Tuple[float, float]:
+        pad = self._pad(index)
+        return pad.get_axis_2d(axis) if pad else (0.0, 0.0)
+
+    def is_controller_axis_in_use(self, index: int, axis: Axis2D) -> bool:
+        """Deadzone check (InputManager.cpp:456-461): true when either
+        component of the stick is at or past the deadzone."""
+        x, y = self.get_controller_axis_2d(index, axis)
+        dz = self._deadzone
+        return x <= -dz or x >= dz or y <= -dz or y >= dz
+
+    def set_dead_zone(self, deadzone: float) -> None:
+        self._deadzone = float(deadzone)
+
+    def play_controller_rumble(self, index: int, strength: float,
+                               length_ms: int) -> None:
+        pad = self._pad(index)
+        if pad:
+            pad.rumble_play(strength, length_ms)
+
+    def stop_controller_rumble(self, index: int) -> None:
+        pad = self._pad(index)
+        if pad:
+            pad.rumble_stop()

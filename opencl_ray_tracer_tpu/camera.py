@@ -49,6 +49,16 @@ class Camera:
         """True when every pixel shares one direction (legacy ortho mode)."""
         return not self.normalize
 
+    def shift_subpixel(self, dx: float, dy: float) -> "Camera":
+        """Camera whose pixel (x, y) sees the original's (x+dx, y+dy): shift
+        both affine bundles along their pixel derivatives. Exact for both
+        camera families — the MSAA jitter primitive."""
+        return dataclasses.replace(
+            self,
+            o0=self.o0 + dx * self.dox + dy * self.doy,
+            d0=self.d0 + dx * self.ddx + dy * self.ddy,
+        )
+
     def rays(self, height: int, width: int) -> Tuple[jax.Array, jax.Array]:
         """Materialize (H, W, 3) origins and directions. Used by the oracle /
         XLA path; Pallas kernels inline the affine form instead."""

@@ -35,17 +35,27 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--backend", choices=["reference", "xla", "pallas"], default=None
     )
     p.add_argument("--settings", help="XML or JSON settings/config file")
+    p.add_argument("--msaa", type=int, default=None,
+                   choices=[0, 1, 2, 4, 8, 16],
+                   help="supersampling samples/pixel (overrides settings)")
 
 
 def _config_from(args) -> "RenderConfig":
     from opencl_ray_tracer_tpu.config import RenderConfig, Settings
 
+    msaa = 0
     if args.settings:
         if args.settings.endswith(".xml"):
             s = Settings.from_xml(args.settings)
             args.width, args.height = s.width, s.height
+            msaa = s.msaa
         else:
-            return RenderConfig.from_json(args.settings)
+            cfg = RenderConfig.from_json(args.settings)
+            if args.msaa is not None:
+                cfg = cfg.replace(msaa=args.msaa)
+            return cfg
+    if args.msaa is not None:
+        msaa = args.msaa
     fb = "float" if args.shading != "legacy" else "int"
     return RenderConfig(
         width=args.width,
@@ -53,6 +63,7 @@ def _config_from(args) -> "RenderConfig":
         shading=args.shading,
         shadows=args.shadows,
         framebuffer_dtype=fb,
+        msaa=msaa,
     ).validate()
 
 

@@ -129,6 +129,13 @@ class RenderConfig:
     shading: str = "legacy"
     shadows: bool = False
 
+    # Anti-aliasing: 0/1 = off, else samples per pixel (2/4/8/16 — the
+    # Settings bounds, Platform.cpp:274-310). The reference passes this to
+    # SDL's GL multisample attributes; the TPU equivalent is supersampling —
+    # `msaa` sub-pixel-jittered renders through the affine camera bundle,
+    # box-filtered (models/renderer.py render()).
+    msaa: int = 0
+
     # Backend selection (the F1 CPU<->OpenCL toggle, MainState.h:48-52).
     backend: str = "pallas"
 
@@ -166,6 +173,8 @@ class RenderConfig:
             raise ValueError(f"backend must be one of {BACKENDS}")
         if self.soft and self.framebuffer_dtype == "int":
             raise ValueError("soft rendering requires framebuffer_dtype='float'")
+        if self.msaa not in (0, 1, 2, 4, 8, 16):
+            raise ValueError(f"msaa must be one of 0/1/2/4/8/16, got {self.msaa}")
         if self.tile_w % 128 != 0:
             raise ValueError("tile_w must be a multiple of 128 (TPU lane dim)")
         if self.tile_h % 8 != 0:
@@ -177,6 +186,7 @@ class RenderConfig:
 
     @classmethod
     def from_settings(cls, s: Settings, **kw: Any) -> "RenderConfig":
+        kw.setdefault("msaa", s.msaa)
         return cls(width=s.width, height=s.height, **kw).validate()
 
     @classmethod

@@ -23,6 +23,25 @@ from opencl_ray_tracer_tpu.camera import Camera, legacy_ortho_camera
 from opencl_ray_tracer_tpu.config import RenderConfig
 from opencl_ray_tracer_tpu.runtime import Backend, resolve_backend
 
+# Sub-pixel sample offsets per MSAA level, in pixel units relative to the
+# pixel's nominal sample point. 2x = diagonal pair, 4x = rotated grid
+# (RGSS), 8x/16x = 8-rook / 4x4 ordered grid — the standard GL/D3D
+# patterns the reference's SDL_GL_MULTISAMPLESAMPLES attribute would
+# select from (Platform.cpp:274-310 path, defaultSettings.xml:6).
+MSAA_OFFSETS = {
+    2: ((0.25, 0.25), (-0.25, -0.25)),
+    4: ((-0.125, -0.375), (0.375, -0.125), (-0.375, 0.125), (0.125, 0.375)),
+    8: tuple(
+        ((i + 0.5) / 8.0 - 0.5, (((i * 3) % 8) + 0.5) / 8.0 - 0.5)
+        for i in range(8)
+    ),
+    16: tuple(
+        ((ix + 0.5) / 4.0 - 0.5, (iy + 0.5) / 4.0 - 0.5)
+        for iy in range(4)
+        for ix in range(4)
+    ),
+}
+
 
 def render(
     scene,
@@ -31,9 +50,29 @@ def render(
     backend: Union[Backend, str, None] = None,
 ) -> jax.Array:
     """Render a frame. Returns the framebuffer (H, W, 4), int32 or float32
-    depending on config.framebuffer_dtype."""
+    depending on config.framebuffer_dtype.
+
+    config.msaa > 1 supersamples: `msaa` sub-pixel-jittered renders through
+    the affine camera bundle (Camera.shift_subpixel — exact for both camera
+    families), box-filtered, quantized once at the end for int framebuffers
+    (resolve-then-quantize, the GL multisample-resolve order)."""
     config = config or RenderConfig()
     camera = camera or legacy_ortho_camera()
+
+    if config.msaa > 1:
+        import jax.numpy as jnp
+
+        sample_cfg = config.replace(msaa=0, framebuffer_dtype="float")
+        acc = None
+        for dx, dy in MSAA_OFFSETS[config.msaa]:
+            img = render(scene, camera.shift_subpixel(dx, dy), sample_cfg,
+                         backend=backend)
+            acc = img if acc is None else acc + img
+        out = acc * (1.0 / config.msaa)
+        if config.framebuffer_dtype == "int":
+            out = jnp.round(out).astype(jnp.int32)
+        return out
+
     b = resolve_backend(backend if backend is not None else config.backend)
 
     if config.soft:

@@ -28,21 +28,33 @@ def save_checkpoint(path: str, state: TrainState, step: Optional[int] = None) ->
     """Save a TrainState. Returns the checkpoint path written."""
     step = int(state.step) if step is None else step
     os.makedirs(path, exist_ok=True)
+    host = _to_host(state)
+
+    def _pickle_save(reason: str) -> str:
+        log_warning("%s; using pickle fallback", reason)
+        p = os.path.join(path, f"step_{step:08d}.pkl")
+        with open(p, "wb") as f:
+            pickle.dump(host, f)
+        log_info("checkpoint saved to %s (pickle)", p)
+        return p
+
     try:
         import orbax.checkpoint as ocp
+    except ImportError as e:  # pragma: no cover - fallback path
+        return _pickle_save(f"orbax unavailable ({e})")
 
-        ckpt_path = os.path.join(os.path.abspath(path), f"step_{step:08d}")
-        with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(ckpt_path, _to_host(state))
-        log_info("checkpoint saved to %s (orbax)", ckpt_path)
-        return ckpt_path
-    except Exception as e:  # pragma: no cover - fallback path
-        log_warning("orbax unavailable/failed (%s); using pickle fallback", e)
-        ckpt_path = os.path.join(path, f"step_{step:08d}.pkl")
-        with open(ckpt_path, "wb") as f:
-            pickle.dump(_to_host(state), f)
-        log_info("checkpoint saved to %s (pickle)", ckpt_path)
-        return ckpt_path
+    # orbax cannot serialize zero-size arrays (e.g. a scene with no cubes
+    # has empty tri tables) — a representational limit, handled up front.
+    # Any OTHER orbax save failure (half-written checkpoint, permissions)
+    # propagates: silently pickling over it would mask data loss.
+    if any(x.size == 0 for x in jax.tree_util.tree_leaves(host)):
+        return _pickle_save("state has zero-size leaves (orbax cannot)")
+
+    ckpt_path = os.path.join(os.path.abspath(path), f"step_{step:08d}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(ckpt_path, host)
+    log_info("checkpoint saved to %s (orbax)", ckpt_path)
+    return ckpt_path
 
 
 def latest_checkpoint(path: str) -> Optional[str]:

@@ -7,7 +7,9 @@ is headless — the "screen" is an (H, W, 4) framebuffer array — so the same
 surface is provided as pure-jnp compositing ops: alpha-blended blit,
 nearest-neighbour scaled blit, rotated blit about a pivot, and a
 multiplicative colour tint. Everything is jittable and runs on-device, so
-UI composition costs no host round-trip.
+UI composition costs no host round-trip; blit positions may be traced
+arrays (masked blend) or host ints (sliced update). Rotation angles are
+trace-time constants (they select the inverse map).
 
 Values are in the framebuffer's 0..255 domain (int32 or float32); alpha is
 the blend weight exactly as SDL's SDL_BLENDMODE_BLEND treats it.
@@ -88,30 +90,51 @@ def resize_nearest(img, out_h: int, out_w: int) -> jax.Array:
     return img[ys.astype(jnp.int32)][:, xs.astype(jnp.int32)]
 
 
-def blit(dest, src, pos: Tuple[int, int]) -> jax.Array:
+def blit(dest, src, pos) -> jax.Array:
     """Alpha-blend `src` onto `dest` with its top-left corner at (x, y).
 
     out.rgb = src.rgb * a + dest.rgb * (1 - a), a = src.alpha / 255
     (SDL_BLENDMODE_BLEND). Off-framebuffer regions are clipped. Returns a
-    new array in dest's dtype."""
+    new array in dest's dtype.
+
+    Positions may be host ints (a sliced update touching only the overlap)
+    OR traced arrays (a masked full-framebuffer blend — jit-safe for
+    dynamic positions, e.g. a sprite animated inside one compiled frame)."""
     dest_f = _as_f32(dest)
     src = _as_f32(src)
     hd, wd = dest_f.shape[:2]
     hs, ws = src.shape[:2]
-    x, y = int(pos[0]), int(pos[1])
+    x, y = pos[0], pos[1]
 
-    # python-level clip (positions are host ints, like the reference's)
-    sy0, sx0 = max(0, -y), max(0, -x)
-    dy0, dx0 = max(0, y), max(0, x)
-    dy1, dx1 = min(hd, y + hs), min(wd, x + ws)
-    if dy1 <= dy0 or dx1 <= dx0:
-        return jnp.asarray(dest)
-    sub = src[sy0 : sy0 + (dy1 - dy0), sx0 : sx0 + (dx1 - dx0)]
-    region = dest_f[dy0:dy1, dx0:dx1]
+    if isinstance(x, (int,)) and isinstance(y, (int,)):
+        # python-level clip (positions are host ints, like the reference's)
+        sy0, sx0 = max(0, -y), max(0, -x)
+        dy0, dx0 = max(0, y), max(0, x)
+        dy1, dx1 = min(hd, y + hs), min(wd, x + ws)
+        if dy1 <= dy0 or dx1 <= dx0:
+            return jnp.asarray(dest)
+        sub = src[sy0 : sy0 + (dy1 - dy0), sx0 : sx0 + (dx1 - dx0)]
+        region = dest_f[dy0:dy1, dx0:dx1]
+        a = jnp.clip(sub[..., 3:4] * (1.0 / 255.0), 0.0, 1.0)
+        rgb = sub[..., :3] * a + region[..., :3] * (1.0 - a)
+        out_region = jnp.concatenate([rgb, region[..., 3:4]], axis=-1)
+        out = dest_f.at[dy0:dy1, dx0:dx1].set(out_region)
+        return out.astype(jnp.asarray(dest).dtype)
+
+    # traced positions: per-dest-pixel source lookup with an inside mask —
+    # identical clip semantics, static shapes, no host sync.
+    x = jnp.asarray(x, jnp.int32)
+    y = jnp.asarray(y, jnp.int32)
+    yy = jnp.arange(hd, dtype=jnp.int32)[:, None] - y
+    xx = jnp.arange(wd, dtype=jnp.int32)[None, :] - x
+    inside = (yy >= 0) & (yy < hs) & (xx >= 0) & (xx < ws)
+    iy = jnp.clip(yy, 0, hs - 1)
+    ix = jnp.clip(xx, 0, ws - 1)
+    sub = src[iy, ix]
     a = jnp.clip(sub[..., 3:4] * (1.0 / 255.0), 0.0, 1.0)
-    rgb = sub[..., :3] * a + region[..., :3] * (1.0 - a)
-    out_region = jnp.concatenate([rgb, region[..., 3:4]], axis=-1)
-    out = dest_f.at[dy0:dy1, dx0:dx1].set(out_region)
+    a = a * inside[..., None].astype(jnp.float32)
+    rgb = sub[..., :3] * a + dest_f[..., :3] * (1.0 - a)
+    out = jnp.concatenate([rgb, dest_f[..., 3:4]], axis=-1)
     return out.astype(jnp.asarray(dest).dtype)
 
 
