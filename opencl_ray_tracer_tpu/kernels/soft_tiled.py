@@ -257,36 +257,60 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
     lpos = packed.lights.position
 
     def bin_sh(box, n_real, ksh):
-        idxs, valids = [], []
+        idxs, valids, cnts = [], [], []
         over = jnp.zeros((), bool)
         for li in range(n_lights):
-            i_, v_, _, o_ = _bin_prims(
+            i_, v_, c_, o_ = _bin_prims(
                 box, n_real, nty, ntx, ksh,
                 light_xy=(lpos[li, 0], lpos[li, 1]), offs=offs,
             )
             idxs.append(i_)
             valids.append(v_)
+            cnts.append(c_)
             over |= o_
-        return jnp.stack(idxs), jnp.stack(valids), over
+        return jnp.stack(idxs), jnp.stack(valids), jnp.stack(cnts), over
 
+    # per-(light, tile) shadow candidate counts: the kernels cond-skip
+    # candidate chunks past the count (candidates are compacted to the
+    # front by _bin_prims' top_k), so a tile pays for what its corridors
+    # actually contain, not for the static-K worst case.
+    sh_cnt_tri = jnp.zeros((n_lights, n_tiles), jnp.int32)
+    sh_cnt_sph = jnp.zeros((n_lights, n_tiles), jnp.int32)
     if k_sh_tri and not projective:
-        tsh_idx, tsh_valid, over = bin_sh(tri_box, packed.n_tris, k_sh_tri)
+        tsh_idx, tsh_valid, sh_cnt_tri, over = bin_sh(
+            tri_box, packed.n_tris, k_sh_tri
+        )
         overflow |= over
     else:
         tsh_idx = jnp.zeros((n_lights, n_tiles, CH), jnp.int32)
         tsh_valid = jnp.zeros((n_lights, n_tiles, CH), bool)
+        if k_sh_tri:  # projective: full shared list, every slot live
+            sh_cnt_tri = jnp.full(
+                (n_lights, n_tiles), packed.n_tris, jnp.int32
+            )
     if k_sh_sph and not projective:
-        ssh_idx, ssh_valid, over = bin_sh(sph_box, packed.n_spheres, k_sh_sph)
+        ssh_idx, ssh_valid, sh_cnt_sph, over = bin_sh(
+            sph_box, packed.n_spheres, k_sh_sph
+        )
         overflow |= over
     else:
         ssh_idx = jnp.zeros((n_lights, n_tiles, CH), jnp.int32)
         ssh_valid = jnp.zeros((n_lights, n_tiles, CH), bool)
+        if k_sh_sph:
+            sh_cnt_sph = jnp.full(
+                (n_lights, n_tiles), packed.n_spheres, jnp.int32
+            )
 
+    # counts layout: [tri, sph, (sh_tri, sh_sph) per light] — the kernels'
+    # SMEM ragged-skip table (same shape idea as fwd_tiled's).
+    cols = [cnt_tri, cnt_sph]
+    for li in range(n_lights):
+        cols += [sh_cnt_tri[li], sh_cnt_sph[li]]
     return SoftBins(
         t_idx=t_idx, t_valid=t_valid, s_idx=s_idx, s_valid=s_valid,
         tsh_idx=tsh_idx, tsh_valid=tsh_valid,
         ssh_idx=ssh_idx, ssh_valid=ssh_valid,
-        counts=jnp.stack([cnt_tri, cnt_sph], axis=1),
+        counts=jnp.stack(cols, axis=1),
         overflow=overflow,
         k_tri=k_tri, k_sph=k_sph, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
         nty=nty, ntx=ntx, projective=projective,
@@ -484,8 +508,16 @@ def _tile_soft_T(
     shadows: bool,
     tp: int,
     projective: bool = False,
+    counts=None,
 ):
     """One SUB_PIX strip of the tiled soft renderer as a pure array function.
+
+    counts (optional): (cnt_tri, cnt_sph, ((sh_tri, sh_sph) per light))
+    int32 scalars — candidate chunks whose slots all lie past the count are
+    cond-skipped at runtime. EXACT: _bin_prims compacts candidates to the
+    front and null slots contribute identically zero to the image and every
+    gradient, so skipping == computing. jax.vjp of lax.cond branches on the
+    same scalar predicate, so the backward pass skips the same chunks.
 
     x, y: (1, tp) pixel coords. Tables as in _gather_soft_tables. Returns
     (8, tp) rows [r, g, b, alpha, 0...]. Formulas are kernels/soft.py's
@@ -663,67 +695,95 @@ def _tile_soft_T(
     ]
     aggregate = shading == "phong" or (shadows and shading == "lambert")
 
+    def _maybe(cnt, cs, upd, carry):
+        """Run a chunk update, or cond-skip it when its slots are all past
+        the tile's candidate count (exact — see docstring)."""
+        if cnt is None:
+            return upd(carry)
+        return jax.lax.cond(cs < cnt, upd, lambda c: c, carry)
+
+    if counts is None:
+        cnt_tri_n = cnt_sph_n = None
+        sh_counts = tuple((None, None) for _ in range(n_lights))
+    else:
+        cnt_tri_n, cnt_sph_n, sh_counts = counts
+
     if not aggregate:
         # ---- per-primitive shading (legacy / lambert without shadows) ------
-        m = jnp.full((1, tp), NEG_BIG, jnp.float32)
-        z, sr, sg, sb_, bacc = zeros1, zeros1, zeros1, zeros1, zeros1
+        def chunk_nonagg(kind, cs):
+            def upd(carry):
+                m, z, sr, sg, sb_, bacc = carry
+                if kind == "tri":
+                    t, cov, n = tri_chunk(cs)
+                    alb = tri_alb[cs : cs + CH, :]
+                else:
+                    t, cov, n = sph_chunk(cs)
+                    alb = sph_alb[cs : cs + CH, :]
+                logit = ranking(t, cov)
+                cmax = jnp.max(logit, axis=0, keepdims=True)
+                m_new = jnp.maximum(m, cmax)
+                scale = jnp.exp(m - m_new)
+                e = jnp.exp(logit - m_new)                   # (CH, tp)
+                z = z * scale + jnp.sum(e, axis=0, keepdims=True)
+
+                if shading == "legacy":
+                    scalar_t = 255.0 - t * (255.0 / LEGACY_FOG_MAX)
+                    s = _dot_attr(alb, e * scalar_t)         # (8, tp)
+                    sr = sr * scale + s[0:1]
+                    sg = sg * scale + s[1:2]
+                    sb_ = sb_ * scale + s[2:3]
+                else:  # lambert, no shadows
+                    px = o[0] + t * d[0]
+                    py = o[1] + t * d[1]
+                    pz = o[2] + t * d[2]
+                    nn = n
+                    if kind == "tri" and nn is None:
+                        # ortho: pre-flipped unit normal columns from the
+                        # albedo table (projective tri_chunk already returned
+                        # per-pixel flipped normals)
+                        nn = (
+                            tcol(tri_alb, cs, 3),
+                            tcol(tri_alb, cs, 4),
+                            tcol(tri_alb, cs, 5),
+                        )
+                    amb_s = _dot_attr(alb, e) * ambient
+                    acc_r, acc_g, acc_b = amb_s[0:1], amb_s[1:2], amb_s[2:3]
+                    for li in range(n_lights):
+                        lp, lc, lint = light_scalars(li)
+                        tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+                        dist = jnp.sqrt(
+                            jnp.maximum(
+                                tlx * tlx + tly * tly + tlz * tlz, 1e-20
+                            )
+                        )
+                        ndotl = jnp.maximum(
+                            (nn[0] * tlx + nn[1] * tly + nn[2] * tlz) / dist,
+                            0.0,
+                        )
+                        s = _dot_attr(alb, e * (lint * ndotl))
+                        acc_r = acc_r + lc[0] * s[0:1]
+                        acc_g = acc_g + lc[1] * s[1:2]
+                        acc_b = acc_b + lc[2] * s[2:3]
+                    sr = sr * scale + acc_r * 255.0
+                    sg = sg * scale + acc_g * 255.0
+                    sb_ = sb_ * scale + acc_b * 255.0
+
+                bacc = bacc + jnp.sum(
+                    jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
+                    axis=0, keepdims=True,
+                )
+                return (m_new, z, sr, sg, sb_, bacc)
+
+            return upd
+
+        carry = (
+            jnp.full((1, tp), NEG_BIG, jnp.float32),
+            zeros1, zeros1, zeros1, zeros1, zeros1,
+        )
         for kind, cs in chunks:
-            if kind == "tri":
-                t, cov, n = tri_chunk(cs)
-                alb = tri_alb[cs : cs + CH, :]
-            else:
-                t, cov, n = sph_chunk(cs)
-                alb = sph_alb[cs : cs + CH, :]
-            logit = ranking(t, cov)
-            cmax = jnp.max(logit, axis=0, keepdims=True)
-            m_new = jnp.maximum(m, cmax)
-            scale = jnp.exp(m - m_new)
-            e = jnp.exp(logit - m_new)                       # (CH, tp)
-            z = z * scale + jnp.sum(e, axis=0, keepdims=True)
-
-            if shading == "legacy":
-                scalar_t = 255.0 - t * (255.0 / LEGACY_FOG_MAX)
-                s = _dot_attr(alb, e * scalar_t)             # (8, tp)
-                sr = sr * scale + s[0:1]
-                sg = sg * scale + s[1:2]
-                sb_ = sb_ * scale + s[2:3]
-            else:  # lambert, no shadows
-                px = o[0] + t * d[0]
-                py = o[1] + t * d[1]
-                pz = o[2] + t * d[2]
-                if kind == "tri" and n is None:
-                    # ortho: pre-flipped unit normal columns from the
-                    # albedo table (projective tri_chunk already returned
-                    # per-pixel flipped normals)
-                    n = (
-                        tcol(tri_alb, cs, 3),
-                        tcol(tri_alb, cs, 4),
-                        tcol(tri_alb, cs, 5),
-                    )
-                amb_s = _dot_attr(alb, e) * ambient
-                acc_r, acc_g, acc_b = amb_s[0:1], amb_s[1:2], amb_s[2:3]
-                for li in range(n_lights):
-                    lp, lc, lint = light_scalars(li)
-                    tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
-                    dist = jnp.sqrt(
-                        jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
-                    )
-                    ndotl = jnp.maximum(
-                        (n[0] * tlx + n[1] * tly + n[2] * tlz) / dist, 0.0
-                    )
-                    s = _dot_attr(alb, e * (lint * ndotl))
-                    acc_r = acc_r + lc[0] * s[0:1]
-                    acc_g = acc_g + lc[1] * s[1:2]
-                    acc_b = acc_b + lc[2] * s[2:3]
-                sr = sr * scale + acc_r * 255.0
-                sg = sg * scale + acc_g * 255.0
-                sb_ = sb_ * scale + acc_b * 255.0
-
-            bacc = bacc + jnp.sum(
-                jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
-                axis=0, keepdims=True,
-            )
-            m = m_new
+            cnt = cnt_tri_n if kind == "tri" else cnt_sph_n
+            carry = _maybe(cnt, cs, chunk_nonagg(kind, cs), carry)
+        m, z, sr, sg, sb_, bacc = carry
 
         zinv = 1.0 / jnp.maximum(z, 1e-20)
         w_bg = jnp.exp(bacc)
@@ -736,37 +796,54 @@ def _tile_soft_T(
             b_out = jnp.clip(b_out, 0.0, 255.0)
     else:
         # ---- aggregate-then-shade (phong / lambert + soft shadows) ---------
-        m = jnp.full((1, tp), NEG_BIG, jnp.float32)
-        z, st, bacc = zeros1, zeros1, zeros1
-        snx, sny, snz = zeros1, zeros1, zeros1  # sphere-normal accumulators
-        s8 = jnp.zeros((8, tp), jnp.float32)    # rgb + tri normals via MXU
+        def chunk_agg(kind, cs):
+            def upd(carry):
+                m, z, st, s8, snx, sny, snz, bacc = carry
+                if kind == "tri":
+                    t, cov, n = tri_chunk(cs)
+                    alb = tri_alb[cs : cs + CH, :]
+                else:
+                    t, cov, n = sph_chunk(cs)
+                    alb = sph_alb[cs : cs + CH, :]
+                logit = ranking(t, cov)
+                cmax = jnp.max(logit, axis=0, keepdims=True)
+                m_new = jnp.maximum(m, cmax)
+                scale = jnp.exp(m - m_new)
+                e = jnp.exp(logit - m_new)
+                z = z * scale + jnp.sum(e, axis=0, keepdims=True)
+                st = st * scale + jnp.sum(e * t, axis=0, keepdims=True)
+                s8 = s8 * scale + _dot_attr(alb, e)
+                if n is not None:
+                    # per-pixel normals (spheres always; projective tris too)
+                    snx = snx * scale + jnp.sum(
+                        e * n[0], axis=0, keepdims=True
+                    )
+                    sny = sny * scale + jnp.sum(
+                        e * n[1], axis=0, keepdims=True
+                    )
+                    snz = snz * scale + jnp.sum(
+                        e * n[2], axis=0, keepdims=True
+                    )
+                else:
+                    snx_, sny_, snz_ = snx * scale, sny * scale, snz * scale
+                    snx, sny, snz = snx_, sny_, snz_
+                bacc = bacc + jnp.sum(
+                    jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
+                    axis=0, keepdims=True,
+                )
+                return (m_new, z, st, s8, snx, sny, snz, bacc)
+
+            return upd
+
+        carry = (
+            jnp.full((1, tp), NEG_BIG, jnp.float32),
+            zeros1, zeros1, jnp.zeros((8, tp), jnp.float32),
+            zeros1, zeros1, zeros1, zeros1,
+        )
         for kind, cs in chunks:
-            if kind == "tri":
-                t, cov, n = tri_chunk(cs)
-                alb = tri_alb[cs : cs + CH, :]
-            else:
-                t, cov, n = sph_chunk(cs)
-                alb = sph_alb[cs : cs + CH, :]
-            logit = ranking(t, cov)
-            cmax = jnp.max(logit, axis=0, keepdims=True)
-            m_new = jnp.maximum(m, cmax)
-            scale = jnp.exp(m - m_new)
-            e = jnp.exp(logit - m_new)
-            z = z * scale + jnp.sum(e, axis=0, keepdims=True)
-            st = st * scale + jnp.sum(e * t, axis=0, keepdims=True)
-            s8 = s8 * scale + _dot_attr(alb, e)
-            if n is not None:
-                # per-pixel normals (spheres always; projective tris too)
-                snx = snx * scale + jnp.sum(e * n[0], axis=0, keepdims=True)
-                sny = sny * scale + jnp.sum(e * n[1], axis=0, keepdims=True)
-                snz = snz * scale + jnp.sum(e * n[2], axis=0, keepdims=True)
-            else:
-                snx, sny, snz = snx * scale, sny * scale, snz * scale
-            bacc = bacc + jnp.sum(
-                jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
-                axis=0, keepdims=True,
-            )
-            m = m_new
+            cnt = cnt_tri_n if kind == "tri" else cnt_sph_n
+            carry = _maybe(cnt, cs, chunk_agg(kind, cs), carry)
+        m, z, st, s8, snx, sny, snz, bacc = carry
 
         zinv = 1.0 / jnp.maximum(z, 1e-20)
         w_bg = jnp.exp(bacc)
@@ -820,12 +897,28 @@ def _tile_soft_T(
                         axis=0, keepdims=True,
                     )
 
+                def sh_tri_upd(cs):
+                    def upd(lv):
+                        t2, cov2 = tri_sh_chunk(li * k_sh_tri + cs, so, sd)
+                        return occ_accum(t2, cov2, lv)
+
+                    return upd
+
+                def sh_sph_upd(cs):
+                    def upd(lv):
+                        t2, cov2 = sph_sh_chunk(li * k_sh_sph + cs, so, sd)
+                        return occ_accum(t2, cov2, lv)
+
+                    return upd
+
                 for cs in range(0, k_sh_tri, CH):
-                    t2, cov2 = tri_sh_chunk(li * k_sh_tri + cs, so, sd)
-                    logvis = occ_accum(t2, cov2, logvis)
+                    logvis = _maybe(
+                        sh_counts[li][0], cs, sh_tri_upd(cs), logvis
+                    )
                 for cs in range(0, k_sh_sph, CH):
-                    t2, cov2 = sph_sh_chunk(li * k_sh_sph + cs, so, sd)
-                    logvis = occ_accum(t2, cov2, logvis)
+                    logvis = _maybe(
+                        sh_counts[li][1], cs, sh_sph_upd(cs), logvis
+                    )
                 vis = jnp.exp(logvis)
             else:
                 vis = 1.0
@@ -938,10 +1031,18 @@ def _soft_tiled_fwd_pallas(
         def _():
             x, y = _tile_xy(i, sb, ntx, sub)
             pv = tuple(params_ref[q] for q in range(n_params))
+            cts = (
+                counts_ref[i, 0],
+                counts_ref[i, 1],
+                tuple(
+                    (counts_ref[i, 2 + 2 * li], counts_ref[i, 3 + 2 * li])
+                    for li in range(cfg["n_lights"])
+                ),
+            )
             res = _tile_soft_T(
                 pv, taus_ref[0], taus_ref[1],
                 tt[0], ta[0], st_[0], sa[0], tsh[0], ssh[0],
-                x, y, **cfg,
+                x, y, counts=cts, **cfg,
             )
             out_ref[0] = res
 
@@ -1030,9 +1131,14 @@ def _soft_tiled_bwd_pallas(
             x, y = _tile_xy(i, sb, ntx, sub)
             pv = tuple(params_ref[q] for q in range(n_params))
 
+            # counts=None: the ragged chunk skip stays OFF under jax.vjp —
+            # JAX's cond linearization emits a scalar-pred vector select
+            # that Mosaic cannot legalize (arith.select i1 x vec). The fwd
+            # kernel skips; the bwd recompute runs the static-K loops.
             def f(pv_, td, te, tt_, ta_, st__, sa_, tsh_, ssh_):
                 return _tile_soft_T(
-                    pv_, td, te, tt_, ta_, st__, sa_, tsh_, ssh_, x, y, **cfg
+                    pv_, td, te, tt_, ta_, st__, sa_, tsh_, ssh_, x, y,
+                    **cfg,
                 )
 
             _, vjp = jax.vjp(
