@@ -135,6 +135,38 @@ def _prim_bboxes(packed):
     return tri_box, sph_box
 
 
+def _prim_z_extents(packed, pad):
+    """World-z AABB extents (z0, z1) per triangle / sphere, padded — the
+    occluder z inputs of the segment-hull shadow culling."""
+    v0 = packed.tri_v0
+    v1 = packed.tri_v0 + packed.tri_e1
+    v2 = packed.tri_v0 + packed.tri_e2
+    tzs = jnp.stack([v0[2], v1[2], v2[2]])
+    tri_z = (jnp.min(tzs, 0) - pad, jnp.max(tzs, 0) + pad)
+    r = packed.sph_radius[0] + pad
+    sph_z = (packed.sph_origin[2] - r, packed.sph_origin[2] + r)
+    return tri_z, sph_z
+
+
+def _scene_z_slab(packed, pad):
+    """Global z range hit points can occupy (padded): the conservative
+    tile_z of the segment-hull shadow test under the ortho camera (hits lie
+    on primitive surfaces, so the scene slab bounds them)."""
+    tri_z, sph_z = _prim_z_extents(packed, pad)
+    big = jnp.float32(1e30)
+    real_t = jnp.arange(tri_z[0].shape[0]) < packed.n_tris
+    real_s = jnp.arange(sph_z[0].shape[0]) < packed.n_spheres
+    z0 = jnp.minimum(
+        jnp.min(jnp.where(real_t, tri_z[0], big)),
+        jnp.min(jnp.where(real_s, sph_z[0], big)),
+    )
+    z1 = jnp.maximum(
+        jnp.max(jnp.where(real_t, tri_z[1], -big)),
+        jnp.max(jnp.where(real_s, sph_z[1], -big)),
+    )
+    return z0, z1
+
+
 def _pinhole_bboxes(packed, camera: Camera):
     """Screen-space conservative bboxes under a shared-origin pinhole camera.
 
@@ -246,7 +278,31 @@ def _prep_projective_coefs(packed, camera: Camera):
     return tri_coef, sph_coef
 
 
-def _bin_prims(box, n_real, nty, ntx, k, light_xy=None, offs=None):
+def _axis_s_interval(b0, b1, L, o0, o1):
+    """Feasible s-interval for one axis of the segment-hull test.
+
+    Points reachable by shadow segments are (1-s)*p + s*L, p in the tile's
+    hit box B, s in [0, 1]. Per axis, the occluder interval [o0, o1] is
+    reachable iff (1-s)*b0 + s*L <= o1 AND (1-s)*b1 + s*L >= o0 — two
+    linear inequalities in s. Returns (lo, hi, ok): feasible s in [lo, hi]
+    when ok (ok=False encodes an unconditionally-empty degenerate axis)."""
+    eps = 1e-12
+    big = jnp.float32(1e30)
+    dA = L - b0
+    rA = o1 - b0
+    hiA = jnp.where(dA > eps, rA / jnp.where(dA > eps, dA, 1.0), big)
+    loA = jnp.where(dA < -eps, rA / jnp.where(dA < -eps, dA, 1.0), -big)
+    okA = jnp.where(jnp.abs(dA) <= eps, rA >= 0, True)
+    dB = L - b1
+    rB = o0 - b1
+    loB = jnp.where(dB > eps, rB / jnp.where(dB > eps, dB, 1.0), -big)
+    hiB = jnp.where(dB < -eps, rB / jnp.where(dB < -eps, dB, 1.0), big)
+    okB = jnp.where(jnp.abs(dB) <= eps, rB <= 0, True)
+    return jnp.maximum(loA, loB), jnp.minimum(hiA, hiB), okA & okB
+
+
+def _bin_prims(box, n_real, nty, ntx, k, light_xy=None, offs=None,
+               light_z=None, prim_z=None, tile_z=None):
     """(tiles x prims) overlap -> per-tile top-k candidate indices.
 
     With light_xy=(lx, ly), tiles are expanded to the bbox of the
@@ -254,6 +310,15 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None, offs=None):
     (which sit in the tile's xy column under the shared -z direction) if its
     xy-bbox overlaps bbox(tile_rect ∪ light_xy) — the conservative
     shadow-candidate test.
+
+    With light_z + prim_z=(pz0, pz1) per prim + tile_z=(tz0, tz1) (the z
+    range hit points can occupy, e.g. the scene slab), the corridor tightens
+    to the SEGMENT-HULL test: the occluder AABB must intersect the convex
+    hull of (tile hit box x light point). Per axis the feasible segment
+    parameter s is an interval (_axis_s_interval); a prim is a candidate iff
+    the three intervals and [0, 1] intersect. This kills the corridor's
+    biggest false positives — slab-bound occluders midway to an elevated
+    light sit BELOW every actual shadow segment there.
 
     offs=(x_off, y_off) shifts the tile rects into WORLD coordinates for
     shifted ortho cameras (the shard_map camera-shift trick: shard i's local
@@ -268,22 +333,46 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None, offs=None):
     ty0 = (jnp.arange(nty, dtype=jnp.float32) * TILE_H)[:, None, None] + y_off
     tx1 = tx0 + TILE_W
     ty1 = ty0 + TILE_H
-    if light_xy is not None:
-        lx, ly = light_xy
-        tx0 = jnp.minimum(tx0, lx)
-        tx1 = jnp.maximum(tx1, lx)
-        ty0 = jnp.minimum(ty0, ly)
-        ty1 = jnp.maximum(ty1, ly)
     # padded prims beyond n_real never overlap (their bbox is degenerate far
     # away for spheres / all-zero for tris, but mask explicitly anyway)
     real = jnp.arange(p) < n_real
-    overlap = (
-        (x0[None, None, :] <= tx1)
-        & (x1[None, None, :] >= tx0)
-        & (y0[None, None, :] <= ty1)
-        & (y1[None, None, :] >= ty0)
-        & real[None, None, :]
-    ).reshape(nty * ntx, p)
+    if (
+        light_xy is not None
+        and light_z is not None
+        and prim_z is not None
+        and tile_z is not None
+    ):
+        lx, ly = light_xy
+        pz0, pz1 = prim_z
+        tz0, tz1 = tile_z
+        sx0, sx1, okx = _axis_s_interval(
+            tx0, tx1, lx, x0[None, None, :], x1[None, None, :]
+        )
+        sy0, sy1, oky = _axis_s_interval(
+            ty0, ty1, ly, y0[None, None, :], y1[None, None, :]
+        )
+        sz0, sz1, okz = _axis_s_interval(
+            tz0, tz1, light_z, pz0[None, None, :], pz1[None, None, :]
+        )
+        lo = jnp.maximum(jnp.maximum(sx0, sy0), jnp.maximum(sz0, 0.0))
+        hi = jnp.minimum(jnp.minimum(sx1, sy1), jnp.minimum(sz1, 1.0))
+        overlap = (
+            (lo <= hi) & okx & oky & okz & real[None, None, :]
+        ).reshape(nty * ntx, p)
+    else:
+        if light_xy is not None:
+            lx, ly = light_xy
+            tx0 = jnp.minimum(tx0, lx)
+            tx1 = jnp.maximum(tx1, lx)
+            ty0 = jnp.minimum(ty0, ly)
+            ty1 = jnp.maximum(ty1, ly)
+        overlap = (
+            (x0[None, None, :] <= tx1)
+            & (x1[None, None, :] >= tx0)
+            & (y0[None, None, :] <= ty1)
+            & (y1[None, None, :] >= ty0)
+            & real[None, None, :]
+        ).reshape(nty * ntx, p)
     counts = jnp.sum(overlap, axis=1, dtype=jnp.int32)
     overflow = jnp.max(counts) > k
     # top-k by (overlap, ascending index): score = P - i for overlapping.
@@ -373,12 +462,13 @@ _NULL_SH_SPH = np.array(
 
 
 def _shadow_tables(rows_per_light, box, n_real, nty, ntx, k, lights_pos,
-                   null_row, offs=None):
+                   null_row, offs=None, prim_z=None, tile_z=None):
     """Per-(light, tile) shadow-candidate tables, flattened to 3-D
     (n_tiles, L*k, 16) — light li owns candidate rows [li*k, (li+1)*k).
     (4-D block refs made Mosaic compiles pathologically slow.)
 
     rows_per_light: callable li -> (P, 16) candidate rows for that light.
+    prim_z/tile_z enable the segment-hull z tightening (see _bin_prims).
     Returns (tables, counts (n_tiles, L) int32, overflow)."""
     tabs, cnts = [], []
     overflow = jnp.zeros((), bool)
@@ -386,6 +476,7 @@ def _shadow_tables(rows_per_light, box, n_real, nty, ntx, k, lights_pos,
         idx, valid, count, over = _bin_prims(
             box, n_real, nty, ntx, k,
             light_xy=(lights_pos[li, 0], lights_pos[li, 1]), offs=offs,
+            light_z=lights_pos[li, 2], prim_z=prim_z, tile_z=tile_z,
         )
         g = rows_per_light(li)[idx]                    # (n_tiles, k, 16)
         g = jnp.where(valid[..., None], g, null_row)
@@ -985,6 +1076,11 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
             if (shadows and packed.n_spheres) else 0
         )
     lpos = packed.lights.position
+    # z inputs of the segment-hull shadow culling (small pad: exact hard
+    # occlusion plus the shadow-ray t_min offset margin)
+    z_pad = 0.1
+    tri_zext, sph_zext = _prim_z_extents(packed, z_pad)
+    tile_z = _scene_z_slab(packed, z_pad)
     if k_sh_tri:
         if projective:
             planes = jnp.stack(
@@ -996,7 +1092,7 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
             tri_sh_t, cnt_sh_tri, over = _shadow_tables(
                 lambda li: _tri_shadow_planes(packed, lpos[li]),
                 tri_box, packed.n_tris, nty, ntx, k_sh_tri, lpos, _NULL_SH_TRI,
-                offs=offs,
+                offs=offs, prim_z=tri_zext, tile_z=tile_z,
             )
             overflow |= over
     else:
@@ -1021,7 +1117,7 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
             sph_sh_t, cnt_sh_sph, over = _shadow_tables(
                 lambda li: sph_rows,
                 sph_box, packed.n_spheres, nty, ntx, k_sh_sph, lpos,
-                _NULL_SH_SPH, offs=offs,
+                _NULL_SH_SPH, offs=offs, prim_z=sph_zext, tile_z=tile_z,
             )
             overflow |= over
     else:

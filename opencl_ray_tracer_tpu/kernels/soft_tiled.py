@@ -90,7 +90,11 @@ from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
 
 CH = 8                 # primitives per sublane chunk
 SUB_PIX_FWD = 2048     # lane width per inner iteration (fwd)
-SUB_PIX_BWD = 2048     # bwd tile width: vjp residuals fit the 100MB VMEM budget
+# bwd strip width: the decomposed bwd keeps no cross-chunk residuals so
+# wider strips FIT, but measured on v5e the 2048-lane strip wins (8192:
+# 5.4ms, 4096: ?, 2048: 4.4ms headline fwd+bwd) — narrower strips pipeline
+# better across grid steps.
+SUB_PIX_BWD = 2048
 # Coverage sigmoids are exp-small this many tau_edge units outside a
 # primitive; 16 sigma => sigmoid ~ 1.1e-7, below visibility in a 0..255
 # image and below the 1e-4 gradient tolerance.
@@ -256,13 +260,26 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
         )
     lpos = packed.lights.position
 
-    def bin_sh(box, n_real, ksh):
+    # z inputs of the segment-hull shadow culling: soft pad = the sigmoid
+    # tail width (the t-gates extend the segment by ~4 tau_g, well inside
+    # the SOFT_CULL_SIGMAS pad) + the shadow-ray origin offset.
+    from opencl_ray_tracer_tpu.kernels.fwd_tiled import (
+        _prim_z_extents,
+        _scene_z_slab,
+    )
+
+    z_pad = pad + SHADOW_OFFSET
+    tri_zext, sph_zext = _prim_z_extents(packed, z_pad)
+    tile_z = _scene_z_slab(packed, z_pad)
+
+    def bin_sh(box, n_real, ksh, prim_z):
         idxs, valids, cnts = [], [], []
         over = jnp.zeros((), bool)
         for li in range(n_lights):
             i_, v_, c_, o_ = _bin_prims(
                 box, n_real, nty, ntx, ksh,
                 light_xy=(lpos[li, 0], lpos[li, 1]), offs=offs,
+                light_z=lpos[li, 2], prim_z=prim_z, tile_z=tile_z,
             )
             idxs.append(i_)
             valids.append(v_)
@@ -278,7 +295,7 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
     sh_cnt_sph = jnp.zeros((n_lights, n_tiles), jnp.int32)
     if k_sh_tri and not projective:
         tsh_idx, tsh_valid, sh_cnt_tri, over = bin_sh(
-            tri_box, packed.n_tris, k_sh_tri
+            tri_box, packed.n_tris, k_sh_tri, tri_zext
         )
         overflow |= over
     else:
@@ -290,7 +307,7 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
             )
     if k_sh_sph and not projective:
         ssh_idx, ssh_valid, sh_cnt_sph, over = bin_sh(
-            sph_box, packed.n_spheres, k_sh_sph
+            sph_box, packed.n_spheres, k_sh_sph, sph_zext
         )
         overflow |= over
     else:
@@ -491,8 +508,533 @@ def _gather_soft_tables(packed, camera, tau_e, bins: SoftBins):
 
 
 # ---------------------------------------------------------------------------
-# The pure tile function (transposed layout) — fwd runs it, bwd vjp's it
+# The pure tile math (transposed layout) — ONE set of test/shade functions
+# shared by the fwd streaming kernel, the fwd recompute inside the bwd
+# kernel, and the per-chunk vjps of the decomposed backward. Every traced
+# value the tests read flows through an EXPLICIT ctx pytree so jax.vjp can
+# route gradients back to camera/light params and the taus (a closure
+# would silently treat them as constants).
 # ---------------------------------------------------------------------------
+
+
+def _ctx_make(pv, tau_d, tau_e, x, y, *, projective: bool, n_lights: int):
+    """Per-strip shared context: ray bundles, quadratic pixel terms, light/
+    shading scalars, temperatures. A plain dict pytree — vjp-able."""
+    o = tuple(
+        pv[_P_O0 + q] + x * pv[_P_DOX + q] + y * pv[_P_DOY + q]
+        for q in range(3)
+    )
+    if projective:
+        du = tuple(
+            pv[_P_D0 + q] + x * pv[_P_DDX + q] + y * pv[_P_DDY + q]
+            for q in range(3)
+        )
+        len2 = jnp.maximum(
+            du[0] * du[0] + du[1] * du[1] + du[2] * du[2], 1e-20
+        )
+        inv_len = jax.lax.rsqrt(len2)
+        len_d = len2 * inv_len
+        d = tuple(c_ * inv_len for c_ in du)  # unit, (1, tp)
+        quad = None
+    else:
+        d = (pv[_P_D0], pv[_P_D0 + 1], pv[_P_D0 + 2])  # shared-dir scalars
+        inv_len = None
+        len_d = None
+        quad = (x * x, y * y, x * y)  # quadratic sphere terms (ortho)
+    lights = tuple(
+        (
+            (pv[b], pv[b + 1], pv[b + 2]),
+            (pv[b + 3], pv[b + 4], pv[b + 5]),
+            pv[b + 6],
+        )
+        for b in (
+            _P_LIGHTS + li * _LIGHT_STRIDE for li in range(n_lights)
+        )
+    )
+    return dict(
+        o=o, d=d, inv_len=inv_len, len_d=len_d, quad=quad, x=x, y=y,
+        ambient=pv[_P_AMBIENT], spec=pv[_P_SPEC], shine=pv[_P_SHINE],
+        lights=lights,
+        tau_e=tau_e,
+        inv_td=1.0 / tau_d,
+        inv_te=1.0 / tau_e,
+        inv_te6=1.0 / jnp.maximum(tau_e, 1e-6),
+    )
+
+
+# -- candidate tests: tab is one (CH, 16) coefficient slice ------------------
+# tri test returns (t, cov, n_or_None): ortho folds the pre-flipped normal
+# into the albedo matmul (n is None); projective flips the stored unit
+# normal per pixel and returns it for explicit aggregation.
+
+def _tri_test(tab, ctx, projective: bool):
+    x, y = ctx["x"], ctx["y"]
+    c = lambda q: tab[:, q : q + 1]
+    if projective:
+        d, len_d = ctx["d"], ctx["len_d"]
+        det = c(0) + x * c(1) + y * c(2)
+        un = c(3) + x * c(4) + y * c(5)
+        vn = c(6) + x * c(7) + y * c(8)
+        det_ok = jnp.abs(det) >= EPSILON * len_d
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        u = un * inv_det
+        v = vn * inv_det
+        t = c(9) * inv_det * len_d
+        cov = (
+            jax.nn.sigmoid(u * c(10))
+            * jax.nn.sigmoid(v * c(11))
+            * jax.nn.sigmoid((1.0 - u - v) * c(12))
+        )
+        cov = jnp.where(det_ok, cov, 0.0)
+        n0 = (c(13), c(14), c(15))
+        ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
+        fl = jnp.where(ndotd > 0, -1.0, 1.0)
+        return t, cov, (n0[0] * fl, n0[1] * fl, n0[2] * fl)
+    u = c(0) + x * c(1) + y * c(2)
+    v = c(3) + x * c(4) + y * c(5)
+    t = c(6) + x * c(7) + y * c(8)
+    cov = (
+        jax.nn.sigmoid(u * c(9))
+        * jax.nn.sigmoid(v * c(10))
+        * jax.nn.sigmoid((1.0 - u - v) * c(11))
+    )
+    return t, cov, None
+
+
+def _sph_test(tab, ctx, projective: bool):
+    x, y = ctx["x"], ctx["y"]
+    o, d = ctx["o"], ctx["d"]
+    c = lambda q: tab[:, q : q + 1]
+    if projective:
+        tca = (c(0) + x * c(1) + y * c(2)) * ctx["inv_len"]
+        d2 = c(3) - tca * tca
+        r2, inv2r, rinv = c(4), c(5), c(6)
+        ctr = (c(7), c(8), c(9))
+        twor = c(10)
+    else:
+        x2, y2, xy = ctx["quad"]
+        tca = c(0) + x * c(1) + y * c(2)
+        d2 = c(3) + x * c(4) + y * c(5) + x2 * c(6) + y2 * c(7) + xy * c(8)
+        r2, inv2r, rinv = c(9), c(10), c(11)
+        ctr = (c(12), c(13), c(14))
+        twor = c(15)
+    margin = (r2 - d2) * inv2r
+    cov = (
+        jax.nn.sigmoid(margin * ctx["inv_te"])
+        * jax.nn.sigmoid(tca * ctx["inv_te6"])
+    )
+    q_ = r2 - d2
+    beta = jnp.maximum(ctx["tau_e"], 1e-3) * twor
+    thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
+    t = tca - thc
+    nx = (o[0] + t * d[0] - ctr[0]) * rinv
+    ny = (o[1] + t * d[1] - ctr[1]) * rinv
+    nz = (o[2] + t * d[2] - ctr[2]) * rinv
+    return t, cov, (nx, ny, nz)
+
+
+# -- shadow occluder tests (geometric: per-pixel shadow-ray dirs) ------------
+
+def _tri_sh_test(tab, so, sd, ctx):
+    c = lambda q: tab[:, q : q + 1]
+    v0 = (c(0), c(1), c(2))
+    e1 = (c(3), c(4), c(5))
+    e2 = (c(6), c(7), c(8))
+    pvx = sd[1] * e2[2] - sd[2] * e2[1]
+    pvy = sd[2] * e2[0] - sd[0] * e2[2]
+    pvz = sd[0] * e2[1] - sd[1] * e2[0]
+    det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
+    det_ok = jnp.abs(det) >= EPSILON
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    tvx, tvy, tvz = so[0] - v0[0], so[1] - v0[1], so[2] - v0[2]
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    qvx = tvy * e1[2] - tvz * e1[1]
+    qvy = tvz * e1[0] - tvx * e1[2]
+    qvz = tvx * e1[1] - tvy * e1[0]
+    v = (sd[0] * qvx + sd[1] * qvy + sd[2] * qvz) * inv_det
+    t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
+    cov = (
+        jax.nn.sigmoid(u * c(9))
+        * jax.nn.sigmoid(v * c(10))
+        * jax.nn.sigmoid((1.0 - u - v) * c(11))
+    )
+    cov = jnp.where(det_ok, cov, 0.0)
+    return t, cov
+
+
+def _sph_sh_test(tab, so, sd, ctx):
+    c = lambda q: tab[:, q : q + 1]
+    lx, ly, lz = c(0) - so[0], c(1) - so[1], c(2) - so[2]
+    tca = lx * sd[0] + ly * sd[1] + lz * sd[2]
+    d2 = lx * lx + ly * ly + lz * lz - tca * tca
+    r2, inv2r, twor = c(3), c(4), c(5)
+    margin = (r2 - d2) * inv2r
+    cov = (
+        jax.nn.sigmoid(margin * ctx["inv_te"])
+        * jax.nn.sigmoid(tca * ctx["inv_te6"])
+    )
+    q_ = r2 - d2
+    beta = jnp.maximum(ctx["tau_e"], 1e-3) * twor
+    thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
+    t = tca - thc
+    return t, cov
+
+
+def _rank(t, cov, ctx):
+    return jnp.where(
+        cov > 1e-12,
+        -t * ctx["inv_td"] + jnp.log(jnp.clip(cov, 1e-12, 1.0)),
+        NEG_BIG,
+    )
+
+
+def _bacc_of(cov):
+    return jnp.sum(
+        jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)), axis=0, keepdims=True
+    )
+
+
+def _maybe_chunk(cnt, cs, upd, carry):
+    """Run a chunk update, or cond-skip it when its slots all lie past the
+    tile's candidate count. EXACT: _bin_prims compacts candidates to the
+    front and null slots contribute identically zero to the image and every
+    gradient, so skipping == computing."""
+    if cnt is None:
+        return upd(carry)
+    return jax.lax.cond(cs < cnt, upd, lambda c: c, carry)
+
+
+def _nonagg_shade_sums(alb, ctx, t, n, e, kind, shading, n_lights):
+    """Per-chunk shaded colour sums for the per-primitive-shading modes:
+    (sr_c, sg_c, sb_c) = sum_i e_i * shade_i. Shared by the streaming fwd
+    (streaming e) and the per-chunk bwd vjp (fixed-m e)."""
+    o, d = ctx["o"], ctx["d"]
+    if shading == "legacy":
+        scalar_t = 255.0 - t * (255.0 / LEGACY_FOG_MAX)
+        s = _dot_attr(alb, e * scalar_t)  # (8, tp)
+        return s[0:1], s[1:2], s[2:3]
+    # lambert, no shadows
+    px = o[0] + t * d[0]
+    py = o[1] + t * d[1]
+    pz = o[2] + t * d[2]
+    nn = n
+    if kind == "tri" and nn is None:
+        # ortho: pre-flipped unit normal columns live in the albedo table
+        # (projective _tri_test already returned per-pixel flipped normals)
+        nn = (alb[:, 3:4], alb[:, 4:5], alb[:, 5:6])
+    amb_s = _dot_attr(alb, e) * ctx["ambient"]
+    acc_r, acc_g, acc_b = amb_s[0:1], amb_s[1:2], amb_s[2:3]
+    for li in range(n_lights):
+        lp, lc, lint = ctx["lights"][li]
+        tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+        dist = jnp.sqrt(
+            jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+        )
+        ndotl = jnp.maximum(
+            (nn[0] * tlx + nn[1] * tly + nn[2] * tlz) / dist, 0.0
+        )
+        s = _dot_attr(alb, e * (lint * ndotl))
+        acc_r = acc_r + lc[0] * s[0:1]
+        acc_g = acc_g + lc[1] * s[1:2]
+        acc_b = acc_b + lc[2] * s[2:3]
+    return acc_r * 255.0, acc_g * 255.0, acc_b * 255.0
+
+
+def _chunk_list(k_tri: int, k_sph: int):
+    return [("tri", cs) for cs in range(0, k_tri, CH)] + [
+        ("sph", cs) for cs in range(0, k_sph, CH)
+    ]
+
+
+def _aggregate_stream(
+    tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+    *, k_tri: int, k_sph: int, tp: int, projective: bool,
+):
+    """Streaming softmin pass -> finals (m, z, st, s8, snx, sny, snz, bacc).
+    cnts = (cnt_tri, cnt_sph) enables ragged chunk skipping (None = off)."""
+    zeros1 = jnp.zeros((1, tp), jnp.float32)
+
+    def chunk(kind, cs):
+        def upd(carry):
+            m, z, st, s8, snx, sny, snz, bacc = carry
+            if kind == "tri":
+                t, cov, n = _tri_test(tri_t[cs : cs + CH, :], ctx, projective)
+                alb = tri_alb[cs : cs + CH, :]
+            else:
+                t, cov, n = _sph_test(sph_t[cs : cs + CH, :], ctx, projective)
+                alb = sph_alb[cs : cs + CH, :]
+            logit = _rank(t, cov, ctx)
+            cmax = jnp.max(logit, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, cmax)
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(logit - m_new)
+            z = z * scale + jnp.sum(e, axis=0, keepdims=True)
+            st = st * scale + jnp.sum(e * t, axis=0, keepdims=True)
+            s8 = s8 * scale + _dot_attr(alb, e)
+            if n is not None:
+                # per-pixel normals (spheres always; projective tris too)
+                snx = snx * scale + jnp.sum(e * n[0], axis=0, keepdims=True)
+                sny = sny * scale + jnp.sum(e * n[1], axis=0, keepdims=True)
+                snz = snz * scale + jnp.sum(e * n[2], axis=0, keepdims=True)
+            else:
+                snx, sny, snz = snx * scale, sny * scale, snz * scale
+            return (m_new, z, st, s8, snx, sny, snz, bacc + _bacc_of(cov))
+
+        return upd
+
+    carry = (
+        jnp.full((1, tp), NEG_BIG, jnp.float32),
+        zeros1, zeros1, jnp.zeros((8, tp), jnp.float32),
+        zeros1, zeros1, zeros1, zeros1,
+    )
+    for kind, cs in _chunk_list(k_tri, k_sph):
+        cnt = cnts[0] if kind == "tri" else cnts[1]
+        carry = _maybe_chunk(cnt, cs, chunk(kind, cs), carry)
+    return carry
+
+
+def _accumulate_nonagg(
+    tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+    *, k_tri: int, k_sph: int, tp: int, projective: bool, shading: str,
+    n_lights: int,
+):
+    """Streaming pass for the per-primitive-shading modes -> finals
+    (m, z, sr, sg, sb, bacc)."""
+    zeros1 = jnp.zeros((1, tp), jnp.float32)
+
+    def chunk(kind, cs):
+        def upd(carry):
+            m, z, sr, sg, sb_, bacc = carry
+            if kind == "tri":
+                t, cov, n = _tri_test(tri_t[cs : cs + CH, :], ctx, projective)
+                alb = tri_alb[cs : cs + CH, :]
+            else:
+                t, cov, n = _sph_test(sph_t[cs : cs + CH, :], ctx, projective)
+                alb = sph_alb[cs : cs + CH, :]
+            logit = _rank(t, cov, ctx)
+            cmax = jnp.max(logit, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, cmax)
+            scale = jnp.exp(m - m_new)
+            e = jnp.exp(logit - m_new)
+            z = z * scale + jnp.sum(e, axis=0, keepdims=True)
+            cr, cg, cb = _nonagg_shade_sums(
+                alb, ctx, t, n, e, kind, shading, n_lights
+            )
+            return (
+                m_new, z,
+                sr * scale + cr, sg * scale + cg, sb_ * scale + cb,
+                bacc + _bacc_of(cov),
+            )
+
+        return upd
+
+    carry = (
+        jnp.full((1, tp), NEG_BIG, jnp.float32),
+        zeros1, zeros1, zeros1, zeros1, zeros1,
+    )
+    for kind, cs in _chunk_list(k_tri, k_sph):
+        cnt = cnts[0] if kind == "tri" else cnts[1]
+        carry = _maybe_chunk(cnt, cs, chunk(kind, cs), carry)
+    return carry
+
+
+# -- per-chunk contributions AGAINST THE FINAL max m --------------------------
+# Streaming-with-rescaling equals summing per-chunk contributions computed
+# against the final running max (every term ends up scaled by exp(-m)), so
+# the decomposed backward vjp's these per chunk with m held constant — and
+# because the outputs depend on the finals only through m-invariant ratios
+# (st/z, s8/z, ...; bacc has no m), the gradient path through m is
+# identically zero and dropping it is EXACT (the flash-attention bwd trick).
+
+def _chunk_contrib_agg(tab, alb, ctx, m, kind, projective: bool):
+    t, cov, n = (_tri_test if kind == "tri" else _sph_test)(
+        tab, ctx, projective
+    )
+    e = jnp.exp(_rank(t, cov, ctx) - m)
+    z_c = jnp.sum(e, axis=0, keepdims=True)
+    st_c = jnp.sum(e * t, axis=0, keepdims=True)
+    s8_c = _dot_attr(alb, e)
+    if n is not None:
+        snx_c = jnp.sum(e * n[0], axis=0, keepdims=True)
+        sny_c = jnp.sum(e * n[1], axis=0, keepdims=True)
+        snz_c = jnp.sum(e * n[2], axis=0, keepdims=True)
+    else:
+        snx_c = sny_c = snz_c = jnp.zeros_like(z_c)
+    return (z_c, st_c, s8_c, snx_c, sny_c, snz_c, _bacc_of(cov))
+
+
+def _chunk_contrib_nonagg(
+    tab, alb, ctx, m, kind, projective: bool, shading: str, n_lights: int
+):
+    t, cov, n = (_tri_test if kind == "tri" else _sph_test)(
+        tab, ctx, projective
+    )
+    e = jnp.exp(_rank(t, cov, ctx) - m)
+    z_c = jnp.sum(e, axis=0, keepdims=True)
+    cr, cg, cb = _nonagg_shade_sums(alb, ctx, t, n, e, kind, shading, n_lights)
+    return (z_c, cr, cg, cb, _bacc_of(cov))
+
+
+def _occ_contrib(tab, so, sd, dist, ctx, kind):
+    """One occluder chunk's log-visibility contribution (1, tp)."""
+    t2, cov2 = (_tri_sh_test if kind == "tri" else _sph_sh_test)(
+        tab, so, sd, ctx
+    )
+    tau_g = jnp.maximum(ctx["tau_e"], 1e-4)
+    shift = jnp.maximum(SHADOW_T_MIN, 4.0 * tau_g)
+    occ = (
+        cov2
+        * jax.nn.sigmoid((t2 - shift) / tau_g)
+        * jax.nn.sigmoid((dist - t2) / tau_g)
+    )
+    return jnp.sum(
+        jnp.log1p(-jnp.clip(occ, 0.0, 1.0 - 1e-6)), axis=0, keepdims=True
+    )
+
+
+def _occ_loop(
+    tri_sh, sph_sh, so, sd, dist, ctx, sh_cnts,
+    *, li: int, k_sh_tri: int, k_sh_sph: int, tp: int,
+):
+    """Ragged occluder accumulation for one light -> logvis (1, tp)."""
+    logvis = jnp.zeros((1, tp), jnp.float32)
+
+    def tri_upd(cs):
+        def upd(lv):
+            tab = tri_sh[li * k_sh_tri + cs : li * k_sh_tri + cs + CH, :]
+            return lv + _occ_contrib(tab, so, sd, dist, ctx, "tri")
+
+        return upd
+
+    def sph_upd(cs):
+        def upd(lv):
+            tab = sph_sh[li * k_sh_sph + cs : li * k_sh_sph + cs + CH, :]
+            return lv + _occ_contrib(tab, so, sd, dist, ctx, "sph")
+
+        return upd
+
+    for cs in range(0, k_sh_tri, CH):
+        logvis = _maybe_chunk(sh_cnts[0], cs, tri_upd(cs), logvis)
+    for cs in range(0, k_sh_sph, CH):
+        logvis = _maybe_chunk(sh_cnts[1], cs, sph_upd(cs), logvis)
+    return logvis
+
+
+def _geom_agg(f7, ctx, *, n_lights: int):
+    """Aggregates -> shading geometry: normalized hit attributes, view
+    vector, background weight, and per-light shadow-ray frames."""
+    z, st, s8, snx, sny, snz, bacc = f7
+    o, d = ctx["o"], ctx["d"]
+    zinv = 1.0 / jnp.maximum(z, 1e-20)
+    w_bg = jnp.exp(bacc)
+    t_hat = st * zinv
+    # tri normal contributions ride s8 rows 3-5 (pre-flipped, constant per
+    # prim => foldable into the albedo matmul); sphere normals are
+    # per-pixel and accumulate explicitly.
+    nx = (s8[3:4] + snx) * zinv
+    ny = (s8[4:5] + sny) * zinv
+    nz = (s8[5:6] + snz) * zinv
+    ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+    nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+    ar, ag, ab = s8[0:1] * zinv, s8[1:2] * zinv, s8[2:3] * zinv
+    px = o[0] + t_hat * d[0]
+    py = o[1] + t_hat * d[1]
+    pz = o[2] + t_hat * d[2]
+    vinv = jax.lax.rsqrt(
+        jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-20)
+    )
+    sos, sds, dists = [], [], []
+    for li in range(n_lights):
+        lp, _, _ = ctx["lights"][li]
+        tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
+        dist = jnp.sqrt(jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20))
+        sds.append((tlx / dist, tly / dist, tlz / dist))
+        sos.append((
+            px + SHADOW_OFFSET * nx,
+            py + SHADOW_OFFSET * ny,
+            pz + SHADOW_OFFSET * nz,
+        ))
+        dists.append(dist)
+    return dict(
+        n=(nx, ny, nz),
+        a=(ar, ag, ab),
+        v=(-d[0] * vinv, -d[1] * vinv, -d[2] * vinv),
+        w_bg=w_bg,
+        so=tuple(sos), sd=tuple(sds), dist=tuple(dists),
+    )
+
+
+def _shade_agg(geom, logvis, ctx, *, shading: str, n_lights: int, tp: int):
+    """Aggregate-then-shade combine: geometry + per-light log-visibility ->
+    (8, tp) output rows [r, g, b, alpha, 0 x4]."""
+    zeros1 = jnp.zeros((1, tp), jnp.float32)
+    nx, ny, nz = geom["n"]
+    ar, ag, ab = geom["a"]
+    vx, vy, vz = geom["v"]
+    diff_r, diff_g, diff_b = zeros1, zeros1, zeros1
+    spec_r, spec_g, spec_b = zeros1, zeros1, zeros1
+    for li in range(n_lights):
+        _, lc, lint = ctx["lights"][li]
+        ldx, ldy, ldz = geom["sd"][li]
+        ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+        vis = jnp.exp(logvis[li]) if logvis is not None else 1.0
+        wd = lint * ndotl * vis
+        diff_r = diff_r + wd * lc[0]
+        diff_g = diff_g + wd * lc[1]
+        diff_b = diff_b + wd * lc[2]
+        if shading == "phong":
+            two_ndl = 2.0 * (nx * ldx + ny * ldy + nz * ldz)
+            rx = two_ndl * nx - ldx
+            ry = two_ndl * ny - ldy
+            rz = two_ndl * nz - ldz
+            rdotv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
+            ws = (
+                ctx["spec"]
+                * jnp.exp(ctx["shine"] * jnp.log(jnp.maximum(rdotv, 1e-20)))
+                * lint
+                * vis
+                * (ndotl > 0.0)
+            )
+            spec_r = spec_r + ws * lc[0]
+            spec_g = spec_g + ws * lc[1]
+            spec_b = spec_b + ws * lc[2]
+    fg_r = ar * (ctx["ambient"] + diff_r) + spec_r
+    fg_g = ag * (ctx["ambient"] + diff_g) + spec_g
+    fg_b = ab * (ctx["ambient"] + diff_b) + spec_b
+    one_m_bg = 1.0 - geom["w_bg"]
+    return jnp.concatenate(
+        [
+            jnp.clip(one_m_bg * fg_r * 255.0, 0.0, 255.0),
+            jnp.clip(one_m_bg * fg_g * 255.0, 0.0, 255.0),
+            jnp.clip(one_m_bg * fg_b * 255.0, 0.0, 255.0),
+            jnp.full((1, tp), 255.0, jnp.float32),
+            jnp.zeros((4, tp), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
+def _shade_nonagg(f5, *, shading: str, tp: int):
+    """Per-primitive-shading normalize: finals -> (8, tp) output rows."""
+    z, sr, sg, sb_, bacc = f5
+    zinv = 1.0 / jnp.maximum(z, 1e-20)
+    w_bg = jnp.exp(bacc)
+    r_out = (1.0 - w_bg) * sr * zinv
+    g_out = (1.0 - w_bg) * sg * zinv
+    b_out = (1.0 - w_bg) * sb_ * zinv
+    if shading != "legacy":
+        r_out = jnp.clip(r_out, 0.0, 255.0)
+        g_out = jnp.clip(g_out, 0.0, 255.0)
+        b_out = jnp.clip(b_out, 0.0, 255.0)
+    return jnp.concatenate(
+        [
+            r_out, g_out, b_out,
+            jnp.full((1, tp), 255.0, jnp.float32),
+            jnp.zeros((4, tp), jnp.float32),
+        ],
+        axis=0,
+    )
+
 
 def _tile_soft_T(
     pv, tau_d, tau_e,
@@ -510,14 +1052,12 @@ def _tile_soft_T(
     projective: bool = False,
     counts=None,
 ):
-    """One SUB_PIX strip of the tiled soft renderer as a pure array function.
+    """One SUB_PIX strip of the tiled soft renderer as a pure array function
+    — the orchestrator over the shared tile math above.
 
     counts (optional): (cnt_tri, cnt_sph, ((sh_tri, sh_sph) per light))
-    int32 scalars — candidate chunks whose slots all lie past the count are
-    cond-skipped at runtime. EXACT: _bin_prims compacts candidates to the
-    front and null slots contribute identically zero to the image and every
-    gradient, so skipping == computing. jax.vjp of lax.cond branches on the
-    same scalar predicate, so the backward pass skips the same chunks.
+    int32 scalars — candidate chunks past the count are cond-skipped at
+    runtime (exact; see _maybe_chunk).
 
     x, y: (1, tp) pixel coords. Tables as in _gather_soft_tables. Returns
     (8, tp) rows [r, g, b, alpha, 0...]. Formulas are kernels/soft.py's
@@ -528,431 +1068,44 @@ def _tile_soft_T(
     direction (so every downstream use of `d` keeps world-distance t
     semantics), and the candidate tests consume projective coefficients.
     """
-    if projective:
-        du = tuple(
-            pv[_P_D0 + q]
-            + x * pv[_P_DDX + q]
-            + y * pv[_P_DDY + q]
-            for q in range(3)
-        )
-        len2 = jnp.maximum(
-            du[0] * du[0] + du[1] * du[1] + du[2] * du[2], 1e-20
-        )
-        inv_len = jax.lax.rsqrt(len2)
-        len_d = len2 * inv_len
-        d = tuple(c_ * inv_len for c_ in du)  # unit, (1, tp)
-    else:
-        d = (pv[_P_D0], pv[_P_D0 + 1], pv[_P_D0 + 2])  # shared-dir scalars
-    o = tuple(
-        pv[_P_O0 + q] + x * pv[_P_DOX + q] + y * pv[_P_DOY + q]
-        for q in range(3)
+    ctx = _ctx_make(
+        pv, tau_d, tau_e, x, y, projective=projective, n_lights=n_lights
     )
-    ambient = pv[_P_AMBIENT]
-    inv_td = 1.0 / tau_d
-    inv_te = 1.0 / tau_e
-    inv_te6 = 1.0 / jnp.maximum(tau_e, 1e-6)
-    if not projective:
-        x2, y2, xy = x * x, y * y, x * y  # quadratic sphere terms (ortho)
-    zeros1 = jnp.zeros((1, tp), jnp.float32)
-
-    def tcol(tab, cs, q):
-        return tab[cs : cs + CH, q : q + 1]  # (CH, 1)
-
-    # -- primary candidate tests --------------------------------------------
-    # tri_chunk returns (t, cov, n_or_None): ortho folds the pre-flipped
-    # normal into the albedo matmul (n is None); projective flips the
-    # stored unit normal per pixel and returns it for explicit aggregation.
-    if projective:
-        def tri_chunk(cs):
-            c = lambda q: tcol(tri_t, cs, q)
-            det = c(0) + x * c(1) + y * c(2)
-            un = c(3) + x * c(4) + y * c(5)
-            vn = c(6) + x * c(7) + y * c(8)
-            det_ok = jnp.abs(det) >= EPSILON * len_d
-            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-            u = un * inv_det
-            v = vn * inv_det
-            t = c(9) * inv_det * len_d
-            cov = (
-                jax.nn.sigmoid(u * c(10))
-                * jax.nn.sigmoid(v * c(11))
-                * jax.nn.sigmoid((1.0 - u - v) * c(12))
-            )
-            cov = jnp.where(det_ok, cov, 0.0)
-            n0 = (c(13), c(14), c(15))
-            ndotd = n0[0] * d[0] + n0[1] * d[1] + n0[2] * d[2]
-            fl = jnp.where(ndotd > 0, -1.0, 1.0)
-            return t, cov, (n0[0] * fl, n0[1] * fl, n0[2] * fl)
-
-        def sph_chunk(cs):
-            c = lambda q: tcol(sph_t, cs, q)
-            tca = (c(0) + x * c(1) + y * c(2)) * inv_len
-            d2 = c(3) - tca * tca
-            r2, inv2r, rinv = c(4), c(5), c(6)
-            margin = (r2 - d2) * inv2r
-            cov = (
-                jax.nn.sigmoid(margin * inv_te)
-                * jax.nn.sigmoid(tca * inv_te6)
-            )
-            q_ = r2 - d2
-            beta = jnp.maximum(tau_e, 1e-3) * c(10)
-            thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
-            t = tca - thc
-            nx = (o[0] + t * d[0] - c(7)) * rinv
-            ny = (o[1] + t * d[1] - c(8)) * rinv
-            nz = (o[2] + t * d[2] - c(9)) * rinv
-            return t, cov, (nx, ny, nz)
-    else:
-        def tri_chunk(cs):
-            c = lambda q: tcol(tri_t, cs, q)
-            u = c(0) + x * c(1) + y * c(2)
-            v = c(3) + x * c(4) + y * c(5)
-            t = c(6) + x * c(7) + y * c(8)
-            cov = (
-                jax.nn.sigmoid(u * c(9))
-                * jax.nn.sigmoid(v * c(10))
-                * jax.nn.sigmoid((1.0 - u - v) * c(11))
-            )
-            return t, cov, None
-
-        def sph_chunk(cs):
-            c = lambda q: tcol(sph_t, cs, q)
-            tca = c(0) + x * c(1) + y * c(2)
-            d2 = (
-                c(3) + x * c(4) + y * c(5) + x2 * c(6) + y2 * c(7) + xy * c(8)
-            )
-            r2, inv2r, rinv = c(9), c(10), c(11)
-            margin = (r2 - d2) * inv2r
-            cov = (
-                jax.nn.sigmoid(margin * inv_te)
-                * jax.nn.sigmoid(tca * inv_te6)
-            )
-            q_ = r2 - d2
-            beta = jnp.maximum(tau_e, 1e-3) * c(15)
-            thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
-            t = tca - thc
-            nx = (o[0] + t * d[0] - c(12)) * rinv
-            ny = (o[1] + t * d[1] - c(13)) * rinv
-            nz = (o[2] + t * d[2] - c(14)) * rinv
-            return t, cov, (nx, ny, nz)
-
-    # -- shadow occluder tests (geometric: per-pixel shadow-ray dirs) --------
-    def tri_sh_chunk(base, so, sd):
-        c = lambda q: tri_sh[base : base + CH, q : q + 1]
-        v0 = (c(0), c(1), c(2))
-        e1 = (c(3), c(4), c(5))
-        e2 = (c(6), c(7), c(8))
-        pvx = sd[1] * e2[2] - sd[2] * e2[1]
-        pvy = sd[2] * e2[0] - sd[0] * e2[2]
-        pvz = sd[0] * e2[1] - sd[1] * e2[0]
-        det = e1[0] * pvx + e1[1] * pvy + e1[2] * pvz
-        det_ok = jnp.abs(det) >= EPSILON
-        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-        tvx, tvy, tvz = so[0] - v0[0], so[1] - v0[1], so[2] - v0[2]
-        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1[2] - tvz * e1[1]
-        qvy = tvz * e1[0] - tvx * e1[2]
-        qvz = tvx * e1[1] - tvy * e1[0]
-        v = (sd[0] * qvx + sd[1] * qvy + sd[2] * qvz) * inv_det
-        t = (e2[0] * qvx + e2[1] * qvy + e2[2] * qvz) * inv_det
-        cov = (
-            jax.nn.sigmoid(u * c(9))
-            * jax.nn.sigmoid(v * c(10))
-            * jax.nn.sigmoid((1.0 - u - v) * c(11))
-        )
-        cov = jnp.where(det_ok, cov, 0.0)
-        return t, cov
-
-    def sph_sh_chunk(base, so, sd):
-        c = lambda q: sph_sh[base : base + CH, q : q + 1]
-        lx, ly, lz = c(0) - so[0], c(1) - so[1], c(2) - so[2]
-        tca = lx * sd[0] + ly * sd[1] + lz * sd[2]
-        d2 = lx * lx + ly * ly + lz * lz - tca * tca
-        r2, inv2r, twor = c(3), c(4), c(5)
-        margin = (r2 - d2) * inv2r
-        cov = jax.nn.sigmoid(margin * inv_te) * jax.nn.sigmoid(tca * inv_te6)
-        q_ = r2 - d2
-        beta = jnp.maximum(tau_e, 1e-3) * twor
-        thc = jnp.sqrt(beta * jax.nn.softplus(q_ / beta) + 1e-12)
-        t = tca - thc
-        return t, cov
-
-    def light_scalars(li):
-        base = _P_LIGHTS + li * _LIGHT_STRIDE
-        lp = (pv[base], pv[base + 1], pv[base + 2])
-        lc = (pv[base + 3], pv[base + 4], pv[base + 5])
-        return lp, lc, pv[base + 6]
-
-    def ranking(t, cov):
-        return jnp.where(
-            cov > 1e-12,
-            -t * inv_td + jnp.log(jnp.clip(cov, 1e-12, 1.0)),
-            NEG_BIG,
-        )
-
-    chunks = [("tri", cs) for cs in range(0, k_tri, CH)] + [
-        ("sph", cs) for cs in range(0, k_sph, CH)
-    ]
-    aggregate = shading == "phong" or (shadows and shading == "lambert")
-
-    def _maybe(cnt, cs, upd, carry):
-        """Run a chunk update, or cond-skip it when its slots are all past
-        the tile's candidate count (exact — see docstring)."""
-        if cnt is None:
-            return upd(carry)
-        return jax.lax.cond(cs < cnt, upd, lambda c: c, carry)
-
     if counts is None:
-        cnt_tri_n = cnt_sph_n = None
+        cnts = (None, None)
         sh_counts = tuple((None, None) for _ in range(n_lights))
     else:
-        cnt_tri_n, cnt_sph_n, sh_counts = counts
+        cnt_tri, cnt_sph, sh_counts = counts
+        cnts = (cnt_tri, cnt_sph)
 
+    aggregate = shading == "phong" or (shadows and shading == "lambert")
     if not aggregate:
-        # ---- per-primitive shading (legacy / lambert without shadows) ------
-        def chunk_nonagg(kind, cs):
-            def upd(carry):
-                m, z, sr, sg, sb_, bacc = carry
-                if kind == "tri":
-                    t, cov, n = tri_chunk(cs)
-                    alb = tri_alb[cs : cs + CH, :]
-                else:
-                    t, cov, n = sph_chunk(cs)
-                    alb = sph_alb[cs : cs + CH, :]
-                logit = ranking(t, cov)
-                cmax = jnp.max(logit, axis=0, keepdims=True)
-                m_new = jnp.maximum(m, cmax)
-                scale = jnp.exp(m - m_new)
-                e = jnp.exp(logit - m_new)                   # (CH, tp)
-                z = z * scale + jnp.sum(e, axis=0, keepdims=True)
-
-                if shading == "legacy":
-                    scalar_t = 255.0 - t * (255.0 / LEGACY_FOG_MAX)
-                    s = _dot_attr(alb, e * scalar_t)         # (8, tp)
-                    sr = sr * scale + s[0:1]
-                    sg = sg * scale + s[1:2]
-                    sb_ = sb_ * scale + s[2:3]
-                else:  # lambert, no shadows
-                    px = o[0] + t * d[0]
-                    py = o[1] + t * d[1]
-                    pz = o[2] + t * d[2]
-                    nn = n
-                    if kind == "tri" and nn is None:
-                        # ortho: pre-flipped unit normal columns from the
-                        # albedo table (projective tri_chunk already returned
-                        # per-pixel flipped normals)
-                        nn = (
-                            tcol(tri_alb, cs, 3),
-                            tcol(tri_alb, cs, 4),
-                            tcol(tri_alb, cs, 5),
-                        )
-                    amb_s = _dot_attr(alb, e) * ambient
-                    acc_r, acc_g, acc_b = amb_s[0:1], amb_s[1:2], amb_s[2:3]
-                    for li in range(n_lights):
-                        lp, lc, lint = light_scalars(li)
-                        tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
-                        dist = jnp.sqrt(
-                            jnp.maximum(
-                                tlx * tlx + tly * tly + tlz * tlz, 1e-20
-                            )
-                        )
-                        ndotl = jnp.maximum(
-                            (nn[0] * tlx + nn[1] * tly + nn[2] * tlz) / dist,
-                            0.0,
-                        )
-                        s = _dot_attr(alb, e * (lint * ndotl))
-                        acc_r = acc_r + lc[0] * s[0:1]
-                        acc_g = acc_g + lc[1] * s[1:2]
-                        acc_b = acc_b + lc[2] * s[2:3]
-                    sr = sr * scale + acc_r * 255.0
-                    sg = sg * scale + acc_g * 255.0
-                    sb_ = sb_ * scale + acc_b * 255.0
-
-                bacc = bacc + jnp.sum(
-                    jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
-                    axis=0, keepdims=True,
-                )
-                return (m_new, z, sr, sg, sb_, bacc)
-
-            return upd
-
-        carry = (
-            jnp.full((1, tp), NEG_BIG, jnp.float32),
-            zeros1, zeros1, zeros1, zeros1, zeros1,
+        finals = _accumulate_nonagg(
+            tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+            k_tri=k_tri, k_sph=k_sph, tp=tp, projective=projective,
+            shading=shading, n_lights=n_lights,
         )
-        for kind, cs in chunks:
-            cnt = cnt_tri_n if kind == "tri" else cnt_sph_n
-            carry = _maybe(cnt, cs, chunk_nonagg(kind, cs), carry)
-        m, z, sr, sg, sb_, bacc = carry
+        return _shade_nonagg(finals[1:], shading=shading, tp=tp)
 
-        zinv = 1.0 / jnp.maximum(z, 1e-20)
-        w_bg = jnp.exp(bacc)
-        r_out = (1.0 - w_bg) * sr * zinv
-        g_out = (1.0 - w_bg) * sg * zinv
-        b_out = (1.0 - w_bg) * sb_ * zinv
-        if shading != "legacy":
-            r_out = jnp.clip(r_out, 0.0, 255.0)
-            g_out = jnp.clip(g_out, 0.0, 255.0)
-            b_out = jnp.clip(b_out, 0.0, 255.0)
-    else:
-        # ---- aggregate-then-shade (phong / lambert + soft shadows) ---------
-        def chunk_agg(kind, cs):
-            def upd(carry):
-                m, z, st, s8, snx, sny, snz, bacc = carry
-                if kind == "tri":
-                    t, cov, n = tri_chunk(cs)
-                    alb = tri_alb[cs : cs + CH, :]
-                else:
-                    t, cov, n = sph_chunk(cs)
-                    alb = sph_alb[cs : cs + CH, :]
-                logit = ranking(t, cov)
-                cmax = jnp.max(logit, axis=0, keepdims=True)
-                m_new = jnp.maximum(m, cmax)
-                scale = jnp.exp(m - m_new)
-                e = jnp.exp(logit - m_new)
-                z = z * scale + jnp.sum(e, axis=0, keepdims=True)
-                st = st * scale + jnp.sum(e * t, axis=0, keepdims=True)
-                s8 = s8 * scale + _dot_attr(alb, e)
-                if n is not None:
-                    # per-pixel normals (spheres always; projective tris too)
-                    snx = snx * scale + jnp.sum(
-                        e * n[0], axis=0, keepdims=True
-                    )
-                    sny = sny * scale + jnp.sum(
-                        e * n[1], axis=0, keepdims=True
-                    )
-                    snz = snz * scale + jnp.sum(
-                        e * n[2], axis=0, keepdims=True
-                    )
-                else:
-                    snx_, sny_, snz_ = snx * scale, sny * scale, snz * scale
-                    snx, sny, snz = snx_, sny_, snz_
-                bacc = bacc + jnp.sum(
-                    jnp.log1p(-jnp.clip(cov, 0.0, 1.0 - 1e-6)),
-                    axis=0, keepdims=True,
-                )
-                return (m_new, z, st, s8, snx, sny, snz, bacc)
-
-            return upd
-
-        carry = (
-            jnp.full((1, tp), NEG_BIG, jnp.float32),
-            zeros1, zeros1, jnp.zeros((8, tp), jnp.float32),
-            zeros1, zeros1, zeros1, zeros1,
-        )
-        for kind, cs in chunks:
-            cnt = cnt_tri_n if kind == "tri" else cnt_sph_n
-            carry = _maybe(cnt, cs, chunk_agg(kind, cs), carry)
-        m, z, st, s8, snx, sny, snz, bacc = carry
-
-        zinv = 1.0 / jnp.maximum(z, 1e-20)
-        w_bg = jnp.exp(bacc)
-        t_hat = st * zinv
-        # tri normal contributions ride s8 rows 3-5 (pre-flipped, constant
-        # per prim => foldable into the albedo matmul); sphere normals are
-        # per-pixel and accumulate explicitly.
-        nx = (s8[3:4] + snx) * zinv
-        ny = (s8[4:5] + sny) * zinv
-        nz = (s8[5:6] + snz) * zinv
-        ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
-        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
-        ar, ag, ab = s8[0:1] * zinv, s8[1:2] * zinv, s8[2:3] * zinv
-        px = o[0] + t_hat * d[0]
-        py = o[1] + t_hat * d[1]
-        pz = o[2] + t_hat * d[2]
-        vinv = jax.lax.rsqrt(
-            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-20)
-        )
-        vx, vy, vz = -d[0] * vinv, -d[1] * vinv, -d[2] * vinv
-
-        diff_r, diff_g, diff_b = zeros1, zeros1, zeros1
-        spec_r, spec_g, spec_b = zeros1, zeros1, zeros1
-        for li in range(n_lights):
-            lp, lc, lint = light_scalars(li)
-            tlx, tly, tlz = lp[0] - px, lp[1] - py, lp[2] - pz
-            dist = jnp.sqrt(
-                jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-20)
+    finals = _aggregate_stream(
+        tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+        k_tri=k_tri, k_sph=k_sph, tp=tp, projective=projective,
+    )
+    geom = _geom_agg(finals[1:], ctx, n_lights=n_lights)
+    logvis = None
+    if shadows:
+        logvis = tuple(
+            _occ_loop(
+                tri_sh, sph_sh,
+                geom["so"][li], geom["sd"][li], geom["dist"][li],
+                ctx, sh_counts[li],
+                li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph, tp=tp,
             )
-            ldx, ldy, ldz = tlx / dist, tly / dist, tlz / dist
-            ndotl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
-            if shadows:
-                so = (
-                    px + SHADOW_OFFSET * nx,
-                    py + SHADOW_OFFSET * ny,
-                    pz + SHADOW_OFFSET * nz,
-                )
-                sd = (ldx, ldy, ldz)
-                tau_g = jnp.maximum(tau_e, 1e-4)
-                shift = jnp.maximum(SHADOW_T_MIN, 4.0 * tau_g)
-                logvis = zeros1
-
-                def occ_accum(t2, cov2, logvis):
-                    occ = (
-                        cov2
-                        * jax.nn.sigmoid((t2 - shift) / tau_g)
-                        * jax.nn.sigmoid((dist - t2) / tau_g)
-                    )
-                    return logvis + jnp.sum(
-                        jnp.log1p(-jnp.clip(occ, 0.0, 1.0 - 1e-6)),
-                        axis=0, keepdims=True,
-                    )
-
-                def sh_tri_upd(cs):
-                    def upd(lv):
-                        t2, cov2 = tri_sh_chunk(li * k_sh_tri + cs, so, sd)
-                        return occ_accum(t2, cov2, lv)
-
-                    return upd
-
-                def sh_sph_upd(cs):
-                    def upd(lv):
-                        t2, cov2 = sph_sh_chunk(li * k_sh_sph + cs, so, sd)
-                        return occ_accum(t2, cov2, lv)
-
-                    return upd
-
-                for cs in range(0, k_sh_tri, CH):
-                    logvis = _maybe(
-                        sh_counts[li][0], cs, sh_tri_upd(cs), logvis
-                    )
-                for cs in range(0, k_sh_sph, CH):
-                    logvis = _maybe(
-                        sh_counts[li][1], cs, sh_sph_upd(cs), logvis
-                    )
-                vis = jnp.exp(logvis)
-            else:
-                vis = 1.0
-            wd = lint * ndotl * vis
-            diff_r = diff_r + wd * lc[0]
-            diff_g = diff_g + wd * lc[1]
-            diff_b = diff_b + wd * lc[2]
-            if shading == "phong":
-                two_ndl = 2.0 * (nx * ldx + ny * ldy + nz * ldz)
-                rx = two_ndl * nx - ldx
-                ry = two_ndl * ny - ldy
-                rz = two_ndl * nz - ldz
-                rdotv = jnp.maximum(rx * vx + ry * vy + rz * vz, 0.0)
-                ws = (
-                    pv[_P_SPEC]
-                    * jnp.exp(pv[_P_SHINE] * jnp.log(jnp.maximum(rdotv, 1e-20)))
-                    * lint
-                    * vis
-                    * (ndotl > 0.0)
-                )
-                spec_r = spec_r + ws * lc[0]
-                spec_g = spec_g + ws * lc[1]
-                spec_b = spec_b + ws * lc[2]
-
-        fg_r = ar * (ambient + diff_r) + spec_r
-        fg_g = ag * (ambient + diff_g) + spec_g
-        fg_b = ab * (ambient + diff_b) + spec_b
-        r_out = jnp.clip((1.0 - w_bg) * fg_r * 255.0, 0.0, 255.0)
-        g_out = jnp.clip((1.0 - w_bg) * fg_g * 255.0, 0.0, 255.0)
-        b_out = jnp.clip((1.0 - w_bg) * fg_b * 255.0, 0.0, 255.0)
-
-    alpha = jnp.full((1, tp), 255.0, jnp.float32)
-    pad0 = jnp.zeros((4, tp), jnp.float32)
-    return jnp.concatenate([r_out, g_out, b_out, alpha, pad0], axis=0)
+            for li in range(n_lights)
+        )
+    return _shade_agg(
+        geom, logvis, ctx, shading=shading, n_lights=n_lights, tp=tp
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1084,9 +1237,23 @@ def _soft_tiled_fwd_pallas(
 def _soft_tiled_bwd_pallas(
     params, taus, tables, counts, g_tiles, *, width, nty, ntx, cfg, interpret,
 ):
-    """Backward kernel: per-(tile, sub-block) recompute + in-kernel vjp of
-    _tile_soft_T; gradient tables land in PER-TILE output blocks (each tile
-    owns its block — no cross-tile accumulation), accumulated across the
+    """Decomposed, RAGGED backward kernel (hand-structured, the
+    flash-attention-bwd shape): per (tile, sub-block) grid step,
+
+      1. rebuild ctx via jax.vjp of _ctx_make (routes grads to params/taus),
+      2. recompute the streaming forward to the finals (chunk skips
+         included) and hold the softmin max m CONSTANT — outputs are
+         invariant to m, so its gradient path is identically zero,
+      3. jax.vjp the shade and geom stages once (chunk-free),
+      4. jax.vjp each candidate / occluder CHUNK independently under the
+         same count predicate (plain lax.cond, never differentiated — so
+         none of the Mosaic-illegal scalar-pred vector selects JAX's cond
+         linearization would emit),
+      5. assemble per-tile gradient table blocks + params/taus rows.
+
+    No cross-chunk residuals exist, so live VMEM stays flat in K and the
+    per-chunk work scales with the tile's actual candidate counts.
+    Gradient tables land in PER-TILE output blocks accumulated across the
     tile's sub-blocks (init at sb == 0; TPU grids iterate the minor
     dimension innermost and sequentially)."""
     tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t = tables
@@ -1097,15 +1264,21 @@ def _soft_tiled_bwd_pallas(
     cfg = dict(cfg, tp=sub)
 
     projective = cfg["projective"]
+    shading = cfg["shading"]
+    shadows = cfg["shadows"]
+    n_lights = cfg["n_lights"]
+    k_tri, k_sph = cfg["k_tri"], cfg["k_sph"]
+    k_sh_tri, k_sh_sph = cfg["k_sh_tri"], cfg["k_sh_sph"]
+    aggregate = shading == "phong" or (shadows and shading == "lambert")
 
     def kernel(params_ref, taus_ref, counts_ref, tt, ta, st_, sa, tsh, ssh,
                g_ref, d_tt, d_ta, d_st, d_sa, d_tsh, d_ssh, d_par, d_tau):
         i = pl.program_id(0)
         sb = pl.program_id(1)
         # Empty tiles: the true vjp of the all-null tile math is EXACTLY
-        # zero for every input (all paths go through sigmoid'(±1e9) == 0,
+        # zero for every input (all paths go through sigmoid'(+-1e9) == 0,
         # null albedos, or the (1 - w_bg) == 0 foreground factor), so the
-        # zero-init alone is the correct gradient — skip the recompute+vjp.
+        # zero-init alone is the correct gradient — skip entirely.
         empty = (counts_ref[i, 0] + counts_ref[i, 1]) == 0
 
         @pl.when(sb == 0)
@@ -1130,35 +1303,218 @@ def _soft_tiled_bwd_pallas(
         def _():
             x, y = _tile_xy(i, sb, ntx, sub)
             pv = tuple(params_ref[q] for q in range(n_params))
-
-            # counts=None: the ragged chunk skip stays OFF under jax.vjp —
-            # JAX's cond linearization emits a scalar-pred vector select
-            # that Mosaic cannot legalize (arith.select i1 x vec). The fwd
-            # kernel skips; the bwd recompute runs the static-K loops.
-            def f(pv_, td, te, tt_, ta_, st__, sa_, tsh_, ssh_):
-                return _tile_soft_T(
-                    pv_, td, te, tt_, ta_, st__, sa_, tsh_, ssh_, x, y,
-                    **cfg,
-                )
-
-            _, vjp = jax.vjp(
-                f, pv, taus_ref[0], taus_ref[1],
-                tt[0], ta[0], st_[0], sa[0], tsh[0], ssh[0],
+            td, te = taus_ref[0], taus_ref[1]
+            cnt_tri = counts_ref[i, 0]
+            cnt_sph = counts_ref[i, 1]
+            sh_counts = tuple(
+                (counts_ref[i, 2 + 2 * li], counts_ref[i, 3 + 2 * li])
+                for li in range(n_lights)
             )
-            gpv, gtd, gte, gtt, gta, gst, gsa, gtsh, gssh = vjp(g_ref[0])
+            g = g_ref[0]
+            TT, TA, SP, SA_ = tt[0], ta[0], st_[0], sa[0]
+            TSH, SSH = tsh[0], ssh[0]
 
-            d_tt[0] += gtt
-            d_ta[0] += gta
-            d_st[0] += gst
-            d_sa[0] += gsa
-            d_tsh[0] += gtsh
-            d_ssh[0] += gssh
+            tree_add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+
+            ctx, builder_vjp = jax.vjp(
+                lambda pv_, td_, te_: _ctx_make(
+                    pv_, td_, te_, x, y,
+                    projective=projective, n_lights=n_lights,
+                ),
+                pv, td, te,
+            )
+            gctx_zero = jax.tree_util.tree_map(jnp.zeros_like, ctx)
+
+            if aggregate:
+                finals = _aggregate_stream(
+                    TT, TA, SP, SA_, ctx, (cnt_tri, cnt_sph),
+                    k_tri=k_tri, k_sph=k_sph, tp=sub, projective=projective,
+                )
+                m = jax.lax.stop_gradient(finals[0])
+                f7 = jax.lax.stop_gradient(finals[1:])
+                geom, geom_vjp = jax.vjp(
+                    lambda f, c: _geom_agg(f, c, n_lights=n_lights), f7, ctx
+                )
+                logvis = None
+                if shadows:
+                    logvis = tuple(
+                        _occ_loop(
+                            TSH, SSH,
+                            geom["so"][li], geom["sd"][li], geom["dist"][li],
+                            ctx, sh_counts[li],
+                            li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
+                            tp=sub,
+                        )
+                        for li in range(n_lights)
+                    )
+                _, shade_vjp = jax.vjp(
+                    lambda gm, lv, c: _shade_agg(
+                        gm, lv, c, shading=shading, n_lights=n_lights, tp=sub
+                    ),
+                    geom, logvis, ctx,
+                )
+                g_geom, g_logvis, gctx = shade_vjp(g)
+
+                # ---- occluder chunks (ragged) --------------------------
+                gtsh_rows, gssh_rows = [], []
+                if shadows:
+                    g_so = [
+                        tuple(jnp.zeros((1, sub), jnp.float32) for _ in range(3))
+                        for _ in range(n_lights)
+                    ]
+                    g_sd = [
+                        tuple(jnp.zeros((1, sub), jnp.float32) for _ in range(3))
+                        for _ in range(n_lights)
+                    ]
+                    g_dist = [jnp.zeros((1, sub), jnp.float32)
+                              for _ in range(n_lights)]
+                    for li in range(n_lights):
+                        glv = g_logvis[li]
+                        so = geom["so"][li]
+                        sd = geom["sd"][li]
+                        dist = geom["dist"][li]
+                        for kind, ksh, base0 in (
+                            ("tri", k_sh_tri, li * k_sh_tri),
+                            ("sph", k_sh_sph, li * k_sh_sph),
+                        ):
+                            TB = TSH if kind == "tri" else SSH
+                            cnt = sh_counts[li][0 if kind == "tri" else 1]
+                            for cs in range(0, ksh, CH):
+                                tab = TB[base0 + cs : base0 + cs + CH, :]
+
+                                def taken(ops, kind=kind):
+                                    tb, so_, sd_, dist_, c_ = ops
+                                    _, vjp = jax.vjp(
+                                        lambda t5, s5, d5, q5, c5:
+                                        _occ_contrib(t5, s5, d5, q5, c5, kind),
+                                        tb, so_, sd_, dist_, c_,
+                                    )
+                                    return vjp(glv)
+
+                                def skipped(ops):
+                                    tb, so_, sd_, dist_, c_ = ops
+                                    return (
+                                        jnp.zeros_like(tb),
+                                        tuple(jnp.zeros((1, sub), jnp.float32)
+                                              for _ in range(3)),
+                                        tuple(jnp.zeros((1, sub), jnp.float32)
+                                              for _ in range(3)),
+                                        jnp.zeros((1, sub), jnp.float32),
+                                        gctx_zero,
+                                    )
+
+                                gtb, gso_c, gsd_c, gdist_c, gctx_c = (
+                                    jax.lax.cond(
+                                        cs < cnt, taken, skipped,
+                                        (tab, so, sd, dist, ctx),
+                                    )
+                                )
+                                (gtsh_rows if kind == "tri"
+                                 else gssh_rows).append(gtb)
+                                g_so[li] = tuple(
+                                    a + b for a, b in zip(g_so[li], gso_c)
+                                )
+                                g_sd[li] = tuple(
+                                    a + b for a, b in zip(g_sd[li], gsd_c)
+                                )
+                                g_dist[li] = g_dist[li] + gdist_c
+                                gctx = tree_add(gctx, gctx_c)
+
+                    # fold occluder so/sd/dist cotangents into g_geom
+                    g_geom = dict(
+                        g_geom,
+                        so=tuple(
+                            tuple(a + b for a, b in zip(g_geom["so"][li],
+                                                        g_so[li]))
+                            for li in range(n_lights)
+                        ),
+                        sd=tuple(
+                            tuple(a + b for a, b in zip(g_geom["sd"][li],
+                                                        g_sd[li]))
+                            for li in range(n_lights)
+                        ),
+                        dist=tuple(
+                            g_geom["dist"][li] + g_dist[li]
+                            for li in range(n_lights)
+                        ),
+                    )
+
+                g_f7, gctx_c = geom_vjp(g_geom)
+                gctx = tree_add(gctx, gctx_c)
+                cot = g_f7  # cotangents for (z, st, s8, snx, sny, snz, bacc)
+
+                def contrib(kind):
+                    return lambda tb, al, c: _chunk_contrib_agg(
+                        tb, al, c, m, kind, projective
+                    )
+            else:
+                finals = _accumulate_nonagg(
+                    TT, TA, SP, SA_, ctx, (cnt_tri, cnt_sph),
+                    k_tri=k_tri, k_sph=k_sph, tp=sub, projective=projective,
+                    shading=shading, n_lights=n_lights,
+                )
+                m = jax.lax.stop_gradient(finals[0])
+                f5 = jax.lax.stop_gradient(finals[1:])
+                _, shade_vjp = jax.vjp(
+                    lambda f: _shade_nonagg(f, shading=shading, tp=sub), f5
+                )
+                (cot,) = shade_vjp(g)
+                gctx = gctx_zero
+                gtsh_rows, gssh_rows = [], []
+
+                def contrib(kind):
+                    return lambda tb, al, c: _chunk_contrib_nonagg(
+                        tb, al, c, m, kind, projective, shading, n_lights
+                    )
+
+            # ---- candidate chunks (ragged) ------------------------------
+            gtt_rows, gta_rows, gst_rows, gsa_rows = [], [], [], []
+            for kind, cs in _chunk_list(k_tri, k_sph):
+                if kind == "tri":
+                    tab, alb = TT[cs : cs + CH, :], TA[cs : cs + CH, :]
+                    cnt = cnt_tri
+                else:
+                    tab, alb = SP[cs : cs + CH, :], SA_[cs : cs + CH, :]
+                    cnt = cnt_sph
+
+                def taken(ops, kind=kind):
+                    tb, al, c_ = ops
+                    _, vjp = jax.vjp(contrib(kind), tb, al, c_)
+                    return vjp(cot)
+
+                def skipped(ops):
+                    tb, al, c_ = ops
+                    return (jnp.zeros_like(tb), jnp.zeros_like(al), gctx_zero)
+
+                gtb, gal, gctx_c = jax.lax.cond(
+                    cs < cnt, taken, skipped, (tab, alb, ctx)
+                )
+                gctx = tree_add(gctx, gctx_c)
+                if kind == "tri":
+                    gtt_rows.append(gtb)
+                    gta_rows.append(gal)
+                else:
+                    gst_rows.append(gtb)
+                    gsa_rows.append(gal)
+
+            # ---- assemble ------------------------------------------------
+            gpv, gtd, gte = builder_vjp(gctx)
             d_par[0] += jnp.concatenate(
-                [g.reshape(1, 1) for g in gpv], axis=1
+                [gq.reshape(1, 1) for gq in gpv], axis=1
             )
             d_tau[0] += jnp.concatenate(
                 [gtd.reshape(1, 1), gte.reshape(1, 1)], axis=1
             )
+            if gtt_rows:
+                d_tt[0] += jnp.concatenate(gtt_rows, axis=0)
+                d_ta[0] += jnp.concatenate(gta_rows, axis=0)
+            if gst_rows:
+                d_st[0] += jnp.concatenate(gst_rows, axis=0)
+                d_sa[0] += jnp.concatenate(gsa_rows, axis=0)
+            if gtsh_rows:
+                d_tsh[0] += jnp.concatenate(gtsh_rows, axis=0)
+            if gssh_rows:
+                d_ssh[0] += jnp.concatenate(gssh_rows, axis=0)
 
     tile3 = lambda shape: pl.BlockSpec(
         (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
