@@ -313,13 +313,31 @@ def main(argv=None) -> None:
     )
     us, rays = bench_config(scene_hl, cfg_hl, tiled=True)
     row("headline tiled phong+shadows 1080p 10sph+1cube", us, rays)
-    # SOL roofline context: tiled kernel visits ~cull_k primitive slots per
-    # pixel (+1 light's shadow slots); count both passes' slots.
+    # SOL roofline context: count the slots the kernel ACTUALLY executes —
+    # per-tile candidate counts rounded up to 8-chunks (ragged skipping),
+    # primary + per-light shadow, averaged over pixels.
     packed_hl = scene_hl.pack()
-    n_slots = min(cfg_hl.cull_k, packed_hl.padded_tris + packed_hl.padded_spheres)
-    sol = sol_fraction(us, wid * hgt, n_prim_slots=2 * n_slots)
+    bins_hl = bin_scene(
+        packed_hl, height=cfg_hl.height, width=cfg_hl.width,
+        k=cfg_hl.cull_k, shadows=cfg_hl.shadows,
+        shadow_k=cfg_hl.shadow_cull_k,
+    )
+    import numpy as _np
+
+    cnts = _np.asarray(bins_hl.counts)  # [tri, sph, (sh_tri, sh_sph)/light]
+    chunks = _np.ceil(cnts / 8.0) * 8.0
+    n_slots = float(chunks.sum(axis=1).mean())  # mean executed slots/tile
+    sol = sol_fraction(us, wid * hgt, n_prim_slots=n_slots)
+    # Model counts INTERSECTION work only (executed candidate slots after
+    # ragged skipping + segment-hull culling). Round 2 scored 0.975 against
+    # the full static-K slot count the kernel then actually executed; the
+    # culling removed most of those slots, so a low fraction here now means
+    # the kernel is bounded by per-pixel shading + per-tile overheads — the
+    # remaining optimization frontier — not by candidate tests.
     print(
-        f"# headline SOL: bound={sol['bound']} ideal={sol['ideal_us']:.0f}us "
+        f"# headline SOL (intersection-work model, "
+        f"{n_slots:.0f} executed slots/px): bound={sol['bound']} "
+        f"ideal={sol['ideal_us']:.0f}us "
         f"achieved_fraction={sol['achieved_fraction']:.3f}",
         file=sys.stderr,
     )
