@@ -79,10 +79,12 @@ class Controller:
     """One gamepad: buttons + sticks + triggers + (headless) rumble.
 
     Events arrive via feed_* (the processEvents role, Controller.cpp:133-190)
-    and set button states immediately — a press and release landing in the
-    same frame leaves the LAST event's state, exactly as the reference's
-    event loop does. update() advances Pressed->Held / Released->None
-    (Controller.cpp:268-287).
+    and are applied at the next update() — the headless equivalent of events
+    pumped between frames — in arrival order, so a press and release landing
+    in the same frame leaves the LAST event's state, exactly as the
+    reference's event loop does. update() first advances Pressed->Held /
+    Released->None (Controller.cpp:268-287), then applies the queue, so an
+    edge is observable for exactly one frame (the key machine's pairing).
     """
 
     def __init__(self, joy_id: int, name: str = "virtual-pad",
@@ -92,6 +94,7 @@ class Controller:
         self._buttons: Dict[Button, _BState] = {
             b: _BState.NONE for b in Button
         }
+        self._pending: list = []  # (Button, is_down) in arrival order
         self._left_stick = (0.0, 0.0)
         self._right_stick = (0.0, 0.0)
         self._left_trigger = 0.0
@@ -112,10 +115,10 @@ class Controller:
 
     # -- event feeding (processEvents / updateAxis / updateButtons) ----------
     def feed_button_down(self, button: Button) -> None:
-        self._buttons[Button(button)] = _BState.PRESSED
+        self._pending.append((Button(button), True))
 
     def feed_button_up(self, button: Button) -> None:
-        self._buttons[Button(button)] = _BState.RELEASED
+        self._pending.append((Button(button), False))
 
     def feed_axis_raw(self, axis: str, value: int) -> None:
         """Raw s16 axis event (SDL_CONTROLLERAXISMOTION shape). axis is one
@@ -147,6 +150,9 @@ class Controller:
                 self._buttons[b] = _BState.HELD
             elif st == _BState.RELEASED:
                 self._buttons[b] = _BState.NONE
+        for b, is_down in self._pending:
+            self._buttons[b] = _BState.PRESSED if is_down else _BState.RELEASED
+        self._pending = []
 
     # -- queries (Controller.cpp:81-129) -------------------------------------
     def was_button_pressed(self, button: Button) -> bool:

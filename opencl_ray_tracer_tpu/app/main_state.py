@@ -23,6 +23,7 @@ from typing import Optional
 
 import jax
 
+from opencl_ray_tracer_tpu.app.controller import Button
 from opencl_ray_tracer_tpu.app.input import InputManager
 from opencl_ray_tracer_tpu.app.state import State, StateManager
 from opencl_ray_tracer_tpu.camera import legacy_ortho_camera
@@ -74,15 +75,42 @@ class MainState(State):
 
     def update(self, dt: float) -> None:
         self.inputs.update()
-        if self.inputs.was_key_pressed("F1") or self.inputs.was_key_pressed("m"):
+        # Gamepad bindings mirror the keyboard's (any attached pad): X =
+        # mode toggle, Y = scene cycle, A = re-run — the reference's
+        # InputManager exposes pads to every state the same way.
+        pad_x = any(
+            self.inputs.was_controller_button_pressed(i, Button.X)
+            for i in range(self.inputs.get_num_controllers())
+        )
+        pad_y = any(
+            self.inputs.was_controller_button_pressed(i, Button.Y)
+            for i in range(self.inputs.get_num_controllers())
+        )
+        pad_a = any(
+            self.inputs.was_controller_button_pressed(i, Button.A)
+            for i in range(self.inputs.get_num_controllers())
+        )
+        if (
+            self.inputs.was_key_pressed("F1")
+            or self.inputs.was_key_pressed("m")
+            or pad_x
+        ):
             self.backend_idx = (self.backend_idx + 1) % len(BACKEND_CYCLE)
             log_info("Mode: %s", self.backend)
             self.start = True
-        if self.inputs.was_key_pressed("F2") or self.inputs.was_key_pressed("s"):
+        if (
+            self.inputs.was_key_pressed("F2")
+            or self.inputs.was_key_pressed("s")
+            or pad_y
+        ):
             self.current_scene = self.current_scene % 3 + 1
             self.scene_change = True
             self.start = True
-        if self.inputs.was_key_pressed("SPACE") or self.inputs.was_key_pressed("r"):
+        if (
+            self.inputs.was_key_pressed("SPACE")
+            or self.inputs.was_key_pressed("r")
+            or pad_a
+        ):
             self.start = True
         if self.inputs.was_key_pressed("p") and self.framebuffer is not None:
             path = os.path.join(

@@ -96,6 +96,26 @@ class TestMainStateHarness:
         sm.update(0.016)
         assert st.backend != start
 
+    def test_gamepad_drives_harness(self):
+        """Pad buttons mirror the keyboard bindings: X = mode, Y = scene,
+        A = re-run (component #16 wired into the state machine)."""
+        from opencl_ray_tracer_tpu.app.controller import Button
+
+        sm, st = self.make()
+        sm.update(0.016)
+        pad = st.inputs.add_controller("test-pad")
+        start_backend, start_scene = st.backend, st.current_scene
+        pad.feed_button_down(Button.X)
+        sm.update(0.016)
+        assert st.backend != start_backend
+        pad.feed_button_down(Button.Y)
+        sm.update(0.016)
+        assert st.current_scene == start_scene % 3 + 1
+        fb_before = st.framebuffer
+        pad.feed_button_down(Button.A)
+        sm.update(0.016)
+        assert st.framebuffer is not None and st.framebuffer is not fb_before
+
     def test_quit(self):
         sm, st = self.make()
         assert sm.event_handler("q") is False

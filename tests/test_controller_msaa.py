@@ -30,6 +30,7 @@ from opencl_ray_tracer_tpu.models.renderer import MSAA_OFFSETS
 def test_button_lifecycle():
     pad = Controller(0)
     pad.feed_button_down(Button.A)
+    pad.update()  # applies the queued event
     assert pad.was_button_pressed(Button.A)
     assert pad.is_button_held(Button.A)
     assert not pad.was_button_released(Button.A)
@@ -37,6 +38,7 @@ def test_button_lifecycle():
     assert not pad.was_button_pressed(Button.A)
     assert pad.is_button_held(Button.A)
     pad.feed_button_up(Button.A)
+    pad.update()
     assert pad.was_button_released(Button.A)
     assert not pad.is_button_held(Button.A)
     pad.update()  # Released -> None
@@ -45,11 +47,12 @@ def test_button_lifecycle():
 
 
 def test_same_frame_press_release_last_event_wins():
-    # the reference's event loop writes states directly: down then up in one
-    # frame leaves Released (Controller.cpp:181-190)
+    # down then up in one frame leaves Released — the last event's state,
+    # as in the reference's event loop (Controller.cpp:181-190)
     pad = Controller(0)
     pad.feed_button_down(Button.X)
     pad.feed_button_up(Button.X)
+    pad.update()
     assert pad.was_button_released(Button.X)
     assert not pad.was_button_pressed(Button.X)
 
@@ -83,8 +86,9 @@ def test_input_manager_gamepad_frontend():
     pad = im.add_controller("test-pad")
     assert im.get_num_controllers() == 1
     pad.feed_button_down(Button.START)
+    im.update()  # applies the queued pad event
     assert im.was_controller_button_pressed(0, Button.START)
-    im.update()  # advances pads too
+    im.update()  # Pressed -> Held
     assert not im.was_controller_button_pressed(0, Button.START)
     assert im.is_controller_button_held(0, Button.START)
 
