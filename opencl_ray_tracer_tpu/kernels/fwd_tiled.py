@@ -944,10 +944,26 @@ def _build_tiled_kernel(
                 out_ref[0, pl.ds(c * (N_SUB * 8) + base_row, 8), :] = val8
             return 0
 
-        # fori_loop (not an unrolled python loop) so each sub-block reuses
-        # the same VMEM temporaries — unrolling all sub-blocks blows the
-        # 16MB scoped-vmem budget with shadows on.
-        jax.lax.fori_loop(0, N_SUB, sub_block, 0)
+        # Empty tiles (no primary candidates — ~89% of the sparse headline
+        # frame): zero hits means the full pipeline provably writes rgb=0,
+        # alpha=255, so skip ray tests AND shading and store the constant.
+        empty = (cnt_tri + cnt_sph) == 0
+
+        @pl.when(empty)
+        def _():
+            out_ref[0, pl.ds(0, 3 * N_SUB * 8), :] = jnp.zeros(
+                (3 * N_SUB * 8, FT), jnp.float32
+            )
+            out_ref[0, pl.ds(3 * N_SUB * 8, N_SUB * 8), :] = jnp.full(
+                (N_SUB * 8, FT), 255.0, jnp.float32
+            )
+
+        @pl.when(jnp.logical_not(empty))
+        def _():
+            # fori_loop (not an unrolled python loop) so each sub-block
+            # reuses the same VMEM temporaries — unrolling all sub-blocks
+            # blows the 16MB scoped-vmem budget with shadows on.
+            jax.lax.fori_loop(0, N_SUB, sub_block, 0)
 
     return kernel
 
