@@ -10,6 +10,8 @@ the UI (MainState.cpp:135-239). Same controls here:
   SPACE / 'r' re-run the trace
   'p'         dump the current framebuffer to PNG (the encodePNG role,
               MainState.cpp:410-417 — wired up here, not commented out)
+  'd'         display the framebuffer in the terminal (24-bit ANSI
+              half-blocks — the SDL window blit's headless stand-in)
   'q' / ESC   quit
 
 Timing uses the device-fenced PerformanceCounter (utils/timer.py) and is
@@ -112,6 +114,10 @@ class MainState(State):
             or pad_a
         ):
             self.start = True
+        if self.inputs.was_key_pressed("d") and self.framebuffer is not None:
+            from opencl_ray_tracer_tpu.utils import show
+
+            show(self.framebuffer)
         if self.inputs.was_key_pressed("p") and self.framebuffer is not None:
             path = os.path.join(
                 self.png_dir,

@@ -38,6 +38,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--msaa", type=int, default=None,
                    choices=[0, 1, 2, 4, 8, 16],
                    help="supersampling samples/pixel (overrides settings)")
+    p.add_argument("--show", action="store_true",
+                   help="print the framebuffer to the terminal "
+                        "(24-bit ANSI half-blocks)")
 
 
 def _config_from(args) -> "RenderConfig":
@@ -85,6 +88,10 @@ def cmd_render(args) -> int:
           f"backend={args.backend or 'auto'}: {us:.0f} us")
     write_png(args.out, fb)
     print(f"wrote {args.out}")
+    if args.show:
+        from opencl_ray_tracer_tpu.utils import show
+
+        show(fb)
     return 0
 
 

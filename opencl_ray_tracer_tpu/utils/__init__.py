@@ -12,6 +12,7 @@ from opencl_ray_tracer_tpu.utils.timer import (
     now_ns,
     time_fn,
 )
+from opencl_ray_tracer_tpu.utils.display import render_ansi, show
 from opencl_ray_tracer_tpu.utils.image import pack_rgba, read_png, write_png
 from opencl_ray_tracer_tpu.utils import mathutil, memory, platform_info, profiling, rng
 
@@ -28,6 +29,8 @@ __all__ = [
     "time_fn",
     "pack_rgba",
     "read_png",
+    "render_ansi",
+    "show",
     "write_png",
     "mathutil",
     "memory",

@@ -113,3 +113,44 @@ class TestCheckpoint:
         state = init_train_state(scene, optax.sgd(0.1))
         out = resume_or_init(str(tmp_path / "none"), state)
         assert out is state
+
+
+class TestDisplay:
+    def test_render_ansi_shape_and_codes(self):
+        from opencl_ray_tracer_tpu.utils import render_ansi
+
+        fb = np.zeros((64, 128, 4), np.int32)
+        fb[:, :, 0] = 200  # red field
+        s = render_ansi(fb, max_width=32, max_height=16)
+        lines = s.split("\n")
+        # 128x64 at max_width 32 scales 0.25x -> 16 image rows -> 8 text
+        # lines (two image rows per half-block line)
+        assert len(lines) == 8
+        assert "\x1b[38;2;200;0;0m" in s and "\x1b[48;2;200;0;0m" in s
+        assert lines[0].endswith("\x1b[0m")
+
+    def test_render_ansi_halfblock_pairs_rows(self):
+        from opencl_ray_tracer_tpu.utils import render_ansi
+
+        fb = np.zeros((4, 4, 4), np.float32)
+        fb[0::2, :, 1] = 255.0  # green stripes on even rows
+        s = render_ansi(fb, max_width=4, max_height=2)
+        # top pixel (fg) green, bottom (bg) black in every cell
+        assert "\x1b[38;2;0;255;0m\x1b[48;2;0;0;0m" in s
+
+    def test_app_display_key(self, capsys):
+        from opencl_ray_tracer_tpu import RenderConfig
+        from opencl_ray_tracer_tpu.app import (
+            InputManager, MainState, StateManager,
+        )
+
+        cfg = RenderConfig(width=128, height=64, shading="legacy",
+                           backend="xla")
+        sm = StateManager()
+        st = MainState(sm, InputManager(), config=cfg)
+        sm.add_state(st)
+        sm.update(0.016)
+        sm.event_handler("d")
+        sm.update(0.016)
+        out = capsys.readouterr().out
+        assert "\x1b[38;2;" in out, "no ANSI framebuffer was printed"
