@@ -41,6 +41,13 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--show", action="store_true",
                    help="print the framebuffer to the terminal "
                         "(24-bit ANSI half-blocks)")
+    p.add_argument("--camera", choices=["ortho", "pinhole"], default="ortho",
+                   help="legacy shared-direction ortho or a real pinhole")
+    p.add_argument("--cam-pos", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--cam-look", type=float, nargs=3, default=None,
+                   metavar=("X", "Y", "Z"))
+    p.add_argument("--fov", type=float, default=60.0)
 
 
 def _config_from(args) -> "RenderConfig":
@@ -70,15 +77,30 @@ def _config_from(args) -> "RenderConfig":
     ).validate()
 
 
+def _camera_from(args, cfg):
+    from opencl_ray_tracer_tpu import legacy_ortho_camera, pinhole_camera
+
+    if args.camera == "pinhole":
+        # default close enough that legacy depth-fog (black past t=180,
+        # rayTracer.cl:193) still shows the scene
+        pos = args.cam_pos or [cfg.width / 2.0, cfg.height / 2.0, 80.0]
+        look = args.cam_look or [cfg.width / 2.0, cfg.height / 2.0, -60.0]
+        return pinhole_camera(
+            position=tuple(pos), look_at=tuple(look),
+            fov_degrees=args.fov, width=cfg.width, height=cfg.height,
+        )
+    return legacy_ortho_camera()
+
+
 def cmd_render(args) -> int:
     import jax
 
-    from opencl_ray_tracer_tpu import create_scene, legacy_ortho_camera, render
+    from opencl_ray_tracer_tpu import create_scene, render
     from opencl_ray_tracer_tpu.utils import PerformanceCounter, write_png
 
     cfg = _config_from(args)
     scene = create_scene(args.scene, seed=args.seed)
-    cam = legacy_ortho_camera()
+    cam = _camera_from(args, cfg)
     timer = PerformanceCounter()
     timer.start_counter()
     fb = render(scene, cam, cfg, backend=args.backend)

@@ -43,9 +43,12 @@ CASES = [
 
 def _camera(kind):
     if kind == "pinhole":
+        # close camera: hit distances stay under the legacy fog horizon
+        # (t=180, rayTracer.cl:193), so the legacy-pinhole golden carries
+        # actual content instead of a trivially-black frame
         return pinhole_camera(
-            position=(320.0, 240.0, 300.0), look_at=(320.0, 240.0, -85.0),
-            fov_degrees=60.0, width=W, height=H,
+            position=(320.0, 240.0, 60.0), look_at=(320.0, 240.0, -85.0),
+            fov_degrees=80.0, width=W, height=H,
         )
     return legacy_ortho_camera()
 
