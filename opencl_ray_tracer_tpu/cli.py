@@ -121,13 +121,13 @@ def cmd_compare(args) -> int:
     """CPU oracle vs accelerated backend: times + pixel cross-check."""
     import jax
 
-    from opencl_ray_tracer_tpu import create_scene, legacy_ortho_camera, render
+    from opencl_ray_tracer_tpu import create_scene, render
     from opencl_ray_tracer_tpu.runtime import default_backend
     from opencl_ray_tracer_tpu.utils import time_fn
 
     cfg = _config_from(args)
     scene = create_scene(args.scene, seed=args.seed)
-    cam = legacy_ortho_camera()
+    cam = _camera_from(args, cfg)
     accel = args.backend or default_backend().value
 
     fb_cpu = render(scene, cam, cfg, backend="reference")
