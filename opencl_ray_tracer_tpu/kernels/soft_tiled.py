@@ -694,14 +694,27 @@ def _bacc_of(cov):
     )
 
 
-def _maybe_chunk(cnt, cs, upd, carry):
-    """Run a chunk update, or cond-skip it when its slots all lie past the
-    tile's candidate count. EXACT: _bin_prims compacts candidates to the
+def _ragged_fori(n_chunks: int, cnt, body, carry):
+    """Run body(ci, carry) over exactly the chunks that hold real
+    candidates: ci = 0 .. ceil(cnt/CH)-1 (cnt None -> all n_chunks,
+    statically unrolled). EXACT: _bin_prims compacts candidates to the
     front and null slots contribute identically zero to the image and every
-    gradient, so skipping == computing."""
+    gradient, so skipping == computing.
+
+    Measured motivation (v5e, 100-prim fwd+bwd): the previous per-chunk
+    `lax.cond` skips lowered to predicated selects under Mosaic — BOTH
+    branches executed, making kernel time linear in the STATIC chunk-slot
+    count (~0.9 ms/slot) regardless of per-tile occupancy. A dynamic
+    trip-count fori_loop is a real loop: work scales with the tile's actual
+    candidate count."""
+    if n_chunks == 0:
+        return carry
     if cnt is None:
-        return upd(carry)
-    return jax.lax.cond(cs < cnt, upd, lambda c: c, carry)
+        for ci in range(n_chunks):
+            carry = body(ci, carry)
+        return carry
+    n = jnp.minimum((cnt + (CH - 1)) // CH, n_chunks)
+    return jax.lax.fori_loop(0, n, body, carry)
 
 
 def _nonagg_shade_sums(alb, ctx, t, n, e, kind, shading, n_lights):
@@ -740,29 +753,25 @@ def _nonagg_shade_sums(alb, ctx, t, n, e, kind, shading, n_lights):
     return acc_r * 255.0, acc_g * 255.0, acc_b * 255.0
 
 
-def _chunk_list(k_tri: int, k_sph: int):
-    return [("tri", cs) for cs in range(0, k_tri, CH)] + [
-        ("sph", cs) for cs in range(0, k_sph, CH)
-    ]
-
-
 def _aggregate_stream(
-    tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+    load_tri, load_sph, ctx, cnts,
     *, k_tri: int, k_sph: int, tp: int, projective: bool,
 ):
     """Streaming softmin pass -> finals (m, z, st, s8, snx, sny, snz, bacc).
-    cnts = (cnt_tri, cnt_sph) enables ragged chunk skipping (None = off)."""
+    load_tri/load_sph: chunk-index -> ((CH, 16) coef table, (CH, 8) albedo)
+    — ref loads at a (possibly traced) chunk index. cnts = (cnt_tri,
+    cnt_sph) enables ragged chunk execution (None = static unroll)."""
     zeros1 = jnp.zeros((1, tp), jnp.float32)
 
-    def chunk(kind, cs):
-        def upd(carry):
+    def chunk(kind):
+        def upd(ci, carry):
             m, z, st, s8, snx, sny, snz, bacc = carry
             if kind == "tri":
-                t, cov, n = _tri_test(tri_t[cs : cs + CH, :], ctx, projective)
-                alb = tri_alb[cs : cs + CH, :]
+                tab, alb = load_tri(ci)
+                t, cov, n = _tri_test(tab, ctx, projective)
             else:
-                t, cov, n = _sph_test(sph_t[cs : cs + CH, :], ctx, projective)
-                alb = sph_alb[cs : cs + CH, :]
+                tab, alb = load_sph(ci)
+                t, cov, n = _sph_test(tab, ctx, projective)
             logit = _rank(t, cov, ctx)
             cmax = jnp.max(logit, axis=0, keepdims=True)
             m_new = jnp.maximum(m, cmax)
@@ -787,14 +796,13 @@ def _aggregate_stream(
         zeros1, zeros1, jnp.zeros((8, tp), jnp.float32),
         zeros1, zeros1, zeros1, zeros1,
     )
-    for kind, cs in _chunk_list(k_tri, k_sph):
-        cnt = cnts[0] if kind == "tri" else cnts[1]
-        carry = _maybe_chunk(cnt, cs, chunk(kind, cs), carry)
+    carry = _ragged_fori(k_tri // CH, cnts[0], chunk("tri"), carry)
+    carry = _ragged_fori(k_sph // CH, cnts[1], chunk("sph"), carry)
     return carry
 
 
 def _accumulate_nonagg(
-    tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+    load_tri, load_sph, ctx, cnts,
     *, k_tri: int, k_sph: int, tp: int, projective: bool, shading: str,
     n_lights: int,
 ):
@@ -802,15 +810,15 @@ def _accumulate_nonagg(
     (m, z, sr, sg, sb, bacc)."""
     zeros1 = jnp.zeros((1, tp), jnp.float32)
 
-    def chunk(kind, cs):
-        def upd(carry):
+    def chunk(kind):
+        def upd(ci, carry):
             m, z, sr, sg, sb_, bacc = carry
             if kind == "tri":
-                t, cov, n = _tri_test(tri_t[cs : cs + CH, :], ctx, projective)
-                alb = tri_alb[cs : cs + CH, :]
+                tab, alb = load_tri(ci)
+                t, cov, n = _tri_test(tab, ctx, projective)
             else:
-                t, cov, n = _sph_test(sph_t[cs : cs + CH, :], ctx, projective)
-                alb = sph_alb[cs : cs + CH, :]
+                tab, alb = load_sph(ci)
+                t, cov, n = _sph_test(tab, ctx, projective)
             logit = _rank(t, cov, ctx)
             cmax = jnp.max(logit, axis=0, keepdims=True)
             m_new = jnp.maximum(m, cmax)
@@ -832,9 +840,8 @@ def _accumulate_nonagg(
         jnp.full((1, tp), NEG_BIG, jnp.float32),
         zeros1, zeros1, zeros1, zeros1, zeros1,
     )
-    for kind, cs in _chunk_list(k_tri, k_sph):
-        cnt = cnts[0] if kind == "tri" else cnts[1]
-        carry = _maybe_chunk(cnt, cs, chunk(kind, cs), carry)
+    carry = _ragged_fori(k_tri // CH, cnts[0], chunk("tri"), carry)
+    carry = _ragged_fori(k_sph // CH, cnts[1], chunk("sph"), carry)
     return carry
 
 
@@ -893,30 +900,21 @@ def _occ_contrib(tab, so, sd, dist, ctx, kind):
 
 
 def _occ_loop(
-    tri_sh, sph_sh, so, sd, dist, ctx, sh_cnts,
+    load_tri_sh, load_sph_sh, so, sd, dist, ctx, sh_cnts,
     *, li: int, k_sh_tri: int, k_sh_sph: int, tp: int,
 ):
-    """Ragged occluder accumulation for one light -> logvis (1, tp)."""
+    """Ragged occluder accumulation for one light -> logvis (1, tp).
+    load_tri_sh/load_sph_sh: (light, chunk-index) -> (CH, 16) table."""
     logvis = jnp.zeros((1, tp), jnp.float32)
 
-    def tri_upd(cs):
-        def upd(lv):
-            tab = tri_sh[li * k_sh_tri + cs : li * k_sh_tri + cs + CH, :]
-            return lv + _occ_contrib(tab, so, sd, dist, ctx, "tri")
+    def tri_upd(ci, lv):
+        return lv + _occ_contrib(load_tri_sh(li, ci), so, sd, dist, ctx, "tri")
 
-        return upd
+    def sph_upd(ci, lv):
+        return lv + _occ_contrib(load_sph_sh(li, ci), so, sd, dist, ctx, "sph")
 
-    def sph_upd(cs):
-        def upd(lv):
-            tab = sph_sh[li * k_sh_sph + cs : li * k_sh_sph + cs + CH, :]
-            return lv + _occ_contrib(tab, so, sd, dist, ctx, "sph")
-
-        return upd
-
-    for cs in range(0, k_sh_tri, CH):
-        logvis = _maybe_chunk(sh_cnts[0], cs, tri_upd(cs), logvis)
-    for cs in range(0, k_sh_sph, CH):
-        logvis = _maybe_chunk(sh_cnts[1], cs, sph_upd(cs), logvis)
+    logvis = _ragged_fori(k_sh_tri // CH, sh_cnts[0], tri_upd, logvis)
+    logvis = _ragged_fori(k_sh_sph // CH, sh_cnts[1], sph_upd, logvis)
     return logvis
 
 
@@ -1038,7 +1036,7 @@ def _shade_nonagg(f5, *, shading: str, tp: int):
 
 def _tile_soft_T(
     pv, tau_d, tau_e,
-    tri_t, tri_alb, sph_t, sph_alb, tri_sh, sph_sh,
+    load_tri, load_sph, load_tri_sh, load_sph_sh,
     x, y,
     *,
     k_tri: int,
@@ -1056,13 +1054,14 @@ def _tile_soft_T(
     — the orchestrator over the shared tile math above.
 
     counts (optional): (cnt_tri, cnt_sph, ((sh_tri, sh_sph) per light))
-    int32 scalars — candidate chunks past the count are cond-skipped at
-    runtime (exact; see _maybe_chunk).
+    int32 scalars — only the chunks holding real candidates execute
+    (dynamic-trip fori_loops; exact, see _ragged_fori).
 
-    x, y: (1, tp) pixel coords. Tables as in _gather_soft_tables. Returns
-    (8, tp) rows [r, g, b, alpha, 0...]. Formulas are kernels/soft.py's
-    _tile_soft_math in the transposed layout (primitives on sublanes);
-    diff/soft.py is the independent oracle for both.
+    x, y: (1, tp) pixel coords. load_*: chunk loaders over the tables of
+    _gather_soft_tables (see the kernels below). Returns (8, tp) rows
+    [r, g, b, alpha, 0...]. Formulas are kernels/soft.py's _tile_soft_math
+    in the transposed layout (primitives on sublanes); diff/soft.py is the
+    independent oracle for both.
 
     projective: shared-origin pinhole camera — d becomes the per-pixel UNIT
     direction (so every downstream use of `d` keeps world-distance t
@@ -1081,14 +1080,14 @@ def _tile_soft_T(
     aggregate = shading == "phong" or (shadows and shading == "lambert")
     if not aggregate:
         finals = _accumulate_nonagg(
-            tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+            load_tri, load_sph, ctx, cnts,
             k_tri=k_tri, k_sph=k_sph, tp=tp, projective=projective,
             shading=shading, n_lights=n_lights,
         )
         return _shade_nonagg(finals[1:], shading=shading, tp=tp)
 
     finals = _aggregate_stream(
-        tri_t, tri_alb, sph_t, sph_alb, ctx, cnts,
+        load_tri, load_sph, ctx, cnts,
         k_tri=k_tri, k_sph=k_sph, tp=tp, projective=projective,
     )
     geom = _geom_agg(finals[1:], ctx, n_lights=n_lights)
@@ -1096,7 +1095,7 @@ def _tile_soft_T(
     if shadows:
         logvis = tuple(
             _occ_loop(
-                tri_sh, sph_sh,
+                load_tri_sh, load_sph_sh,
                 geom["so"][li], geom["sd"][li], geom["dist"][li],
                 ctx, sh_counts[li],
                 li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph, tp=tp,
@@ -1111,6 +1110,27 @@ def _tile_soft_T(
 # ---------------------------------------------------------------------------
 # Kernels + wrappers
 # ---------------------------------------------------------------------------
+
+def _chunked(t):
+    """(n_tiles, K, w) -> (n_tiles, K//CH, CH, w). A FREE reshape (row-major
+    bytes are identical) that exposes whole candidate chunks on an untiled
+    leading dim, so kernels can load chunk `ci` at a TRACED index — the
+    addressing mode the ragged fori_loops need."""
+    n, k, w = t.shape
+    return t.reshape(n, k // CH, CH, w)
+
+
+def _loaders(tt, ta, st_, sa, tsh, ssh, cfg):
+    """Chunk loaders over the 4-D table refs for one tile's blocks."""
+    nsh_t = cfg["k_sh_tri"] // CH
+    nsh_s = cfg["k_sh_sph"] // CH
+    return (
+        lambda ci: (tt[0, ci], ta[0, ci]),
+        lambda ci: (st_[0, ci], sa[0, ci]),
+        lambda li, ci: tsh[0, li * nsh_t + ci],
+        lambda li, ci: ssh[0, li * nsh_s + ci],
+    )
+
 
 def _tile_xy(i, sb, ntx: int, sub_pix: int):
     """(tile, sub-block) grid ids -> (1, sub_pix) pixel coords."""
@@ -1194,19 +1214,22 @@ def _soft_tiled_fwd_pallas(
             )
             res = _tile_soft_T(
                 pv, taus_ref[0], taus_ref[1],
-                tt[0], ta[0], st_[0], sa[0], tsh[0], ssh[0],
+                *_loaders(tt, ta, st_, sa, tsh, ssh, cfg),
                 x, y, counts=cts, **cfg,
             )
             out_ref[0] = res
 
-    tile3 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
+    tile4 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
     # projective shadow tables are one shared block for every tile
-    shared3 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (0, 0, 0), memory_space=pltpu.VMEM
+    shared4 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    sh_spec = shared3 if cfg["projective"] else tile3
+    sh_spec = shared4 if cfg["projective"] else tile4
+    tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t = map(
+        _chunked, (tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t)
+    )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
@@ -1215,10 +1238,10 @@ def _soft_tiled_fwd_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            tile3(tri_t.shape),
-            tile3(tri_alb.shape),
-            tile3(sph_t.shape),
-            tile3(sph_alb.shape),
+            tile4(tri_t.shape),
+            tile4(tri_alb.shape),
+            tile4(sph_t.shape),
+            tile4(sph_alb.shape),
             sh_spec(tsh_t.shape),
             sh_spec(ssh_t.shape),
         ],
@@ -1241,15 +1264,17 @@ def _soft_tiled_bwd_pallas(
     flash-attention-bwd shape): per (tile, sub-block) grid step,
 
       1. rebuild ctx via jax.vjp of _ctx_make (routes grads to params/taus),
-      2. recompute the streaming forward to the finals (chunk skips
+      2. recompute the streaming forward to the finals (ragged loops
          included) and hold the softmin max m CONSTANT — outputs are
          invariant to m, so its gradient path is identically zero,
       3. jax.vjp the shade and geom stages once (chunk-free),
-      4. jax.vjp each candidate / occluder CHUNK independently under the
-         same count predicate (plain lax.cond, never differentiated — so
-         none of the Mosaic-illegal scalar-pred vector selects JAX's cond
-         linearization would emit),
-      5. assemble per-tile gradient table blocks + params/taus rows.
+      4. jax.vjp each candidate / occluder CHUNK inside a dynamic-trip
+         fori_loop over exactly the chunks the tile's counts cover (real
+         skipping — see _ragged_fori; gradient chunks are accumulated
+         straight into the table-grad refs at the traced chunk index, and
+         never-visited chunks keep their zero-init, which IS their exact
+         gradient),
+      5. assemble params/taus rows.
 
     No cross-chunk residuals exist, so live VMEM stays flat in K and the
     per-chunk work scales with the tile's actual candidate counts.
@@ -1311,8 +1336,10 @@ def _soft_tiled_bwd_pallas(
                 for li in range(n_lights)
             )
             g = g_ref[0]
-            TT, TA, SP, SA_ = tt[0], ta[0], st_[0], sa[0]
-            TSH, SSH = tsh[0], ssh[0]
+            load_tri, load_sph, load_tri_sh, load_sph_sh = _loaders(
+                tt, ta, st_, sa, tsh, ssh, cfg
+            )
+            nsh_t, nsh_s = k_sh_tri // CH, k_sh_sph // CH
 
             tree_add = lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
 
@@ -1327,7 +1354,7 @@ def _soft_tiled_bwd_pallas(
 
             if aggregate:
                 finals = _aggregate_stream(
-                    TT, TA, SP, SA_, ctx, (cnt_tri, cnt_sph),
+                    load_tri, load_sph, ctx, (cnt_tri, cnt_sph),
                     k_tri=k_tri, k_sph=k_sph, tp=sub, projective=projective,
                 )
                 m = jax.lax.stop_gradient(finals[0])
@@ -1339,7 +1366,7 @@ def _soft_tiled_bwd_pallas(
                 if shadows:
                     logvis = tuple(
                         _occ_loop(
-                            TSH, SSH,
+                            load_tri_sh, load_sph_sh,
                             geom["so"][li], geom["sd"][li], geom["dist"][li],
                             ctx, sh_counts[li],
                             li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
@@ -1355,70 +1382,57 @@ def _soft_tiled_bwd_pallas(
                 )
                 g_geom, g_logvis, gctx = shade_vjp(g)
 
-                # ---- occluder chunks (ragged) --------------------------
-                gtsh_rows, gssh_rows = [], []
+                # ---- occluder chunks (ragged vjps, grads -> refs) -------
                 if shadows:
-                    g_so = [
-                        tuple(jnp.zeros((1, sub), jnp.float32) for _ in range(3))
-                        for _ in range(n_lights)
-                    ]
-                    g_sd = [
-                        tuple(jnp.zeros((1, sub), jnp.float32) for _ in range(3))
-                        for _ in range(n_lights)
-                    ]
-                    g_dist = [jnp.zeros((1, sub), jnp.float32)
-                              for _ in range(n_lights)]
+                    zero3 = lambda: tuple(
+                        jnp.zeros((1, sub), jnp.float32) for _ in range(3)
+                    )
+                    g_so, g_sd, g_dist = [], [], []
                     for li in range(n_lights):
                         glv = g_logvis[li]
                         so = geom["so"][li]
                         sd = geom["sd"][li]
                         dist = geom["dist"][li]
-                        for kind, ksh, base0 in (
-                            ("tri", k_sh_tri, li * k_sh_tri),
-                            ("sph", k_sh_sph, li * k_sh_sph),
-                        ):
-                            TB = TSH if kind == "tri" else SSH
-                            cnt = sh_counts[li][0 if kind == "tri" else 1]
-                            for cs in range(0, ksh, CH):
-                                tab = TB[base0 + cs : base0 + cs + CH, :]
 
-                                def taken(ops, kind=kind):
-                                    tb, so_, sd_, dist_, c_ = ops
-                                    _, vjp = jax.vjp(
-                                        lambda t5, s5, d5, q5, c5:
-                                        _occ_contrib(t5, s5, d5, q5, c5, kind),
-                                        tb, so_, sd_, dist_, c_,
-                                    )
-                                    return vjp(glv)
+                        def occ_body(kind, li=li, glv=glv, so=so, sd=sd,
+                                     dist=dist):
+                            load = (load_tri_sh if kind == "tri"
+                                    else load_sph_sh)
+                            dref = d_tsh if kind == "tri" else d_ssh
+                            nsh = nsh_t if kind == "tri" else nsh_s
 
-                                def skipped(ops):
-                                    tb, so_, sd_, dist_, c_ = ops
-                                    return (
-                                        jnp.zeros_like(tb),
-                                        tuple(jnp.zeros((1, sub), jnp.float32)
-                                              for _ in range(3)),
-                                        tuple(jnp.zeros((1, sub), jnp.float32)
-                                              for _ in range(3)),
-                                        jnp.zeros((1, sub), jnp.float32),
-                                        gctx_zero,
-                                    )
+                            def body(ci, acc):
+                                gctx_a, gso_a, gsd_a, gdist_a = acc
+                                tab = load(li, ci)
+                                _, vjp = jax.vjp(
+                                    lambda t5, s5, d5, q5, c5: _occ_contrib(
+                                        t5, s5, d5, q5, c5, kind
+                                    ),
+                                    tab, so, sd, dist, ctx,
+                                )
+                                gtb, gso_c, gsd_c, gdist_c, gctx_c = vjp(glv)
+                                dref[0, li * nsh + ci] += gtb
+                                return (
+                                    tree_add(gctx_a, gctx_c),
+                                    tuple(a + b for a, b in zip(gso_a, gso_c)),
+                                    tuple(a + b for a, b in zip(gsd_a, gsd_c)),
+                                    gdist_a + gdist_c,
+                                )
 
-                                gtb, gso_c, gsd_c, gdist_c, gctx_c = (
-                                    jax.lax.cond(
-                                        cs < cnt, taken, skipped,
-                                        (tab, so, sd, dist, ctx),
-                                    )
-                                )
-                                (gtsh_rows if kind == "tri"
-                                 else gssh_rows).append(gtb)
-                                g_so[li] = tuple(
-                                    a + b for a, b in zip(g_so[li], gso_c)
-                                )
-                                g_sd[li] = tuple(
-                                    a + b for a, b in zip(g_sd[li], gsd_c)
-                                )
-                                g_dist[li] = g_dist[li] + gdist_c
-                                gctx = tree_add(gctx, gctx_c)
+                            return body
+
+                        acc = (gctx, zero3(), zero3(),
+                               jnp.zeros((1, sub), jnp.float32))
+                        acc = _ragged_fori(
+                            nsh_t, sh_counts[li][0], occ_body("tri"), acc
+                        )
+                        acc = _ragged_fori(
+                            nsh_s, sh_counts[li][1], occ_body("sph"), acc
+                        )
+                        gctx, gso_li, gsd_li, gdist_li = acc
+                        g_so.append(gso_li)
+                        g_sd.append(gsd_li)
+                        g_dist.append(gdist_li)
 
                     # fold occluder so/sd/dist cotangents into g_geom
                     g_geom = dict(
@@ -1449,7 +1463,7 @@ def _soft_tiled_bwd_pallas(
                     )
             else:
                 finals = _accumulate_nonagg(
-                    TT, TA, SP, SA_, ctx, (cnt_tri, cnt_sph),
+                    load_tri, load_sph, ctx, (cnt_tri, cnt_sph),
                     k_tri=k_tri, k_sph=k_sph, tp=sub, projective=projective,
                     shading=shading, n_lights=n_lights,
                 )
@@ -1460,42 +1474,30 @@ def _soft_tiled_bwd_pallas(
                 )
                 (cot,) = shade_vjp(g)
                 gctx = gctx_zero
-                gtsh_rows, gssh_rows = [], []
 
                 def contrib(kind):
                     return lambda tb, al, c: _chunk_contrib_nonagg(
                         tb, al, c, m, kind, projective, shading, n_lights
                     )
 
-            # ---- candidate chunks (ragged) ------------------------------
-            gtt_rows, gta_rows, gst_rows, gsa_rows = [], [], [], []
-            for kind, cs in _chunk_list(k_tri, k_sph):
-                if kind == "tri":
-                    tab, alb = TT[cs : cs + CH, :], TA[cs : cs + CH, :]
-                    cnt = cnt_tri
-                else:
-                    tab, alb = SP[cs : cs + CH, :], SA_[cs : cs + CH, :]
-                    cnt = cnt_sph
+            # ---- candidate chunks (ragged vjps, grads -> refs) ----------
+            def cand_body(kind):
+                load = load_tri if kind == "tri" else load_sph
+                dref_t = d_tt if kind == "tri" else d_st
+                dref_a = d_ta if kind == "tri" else d_sa
 
-                def taken(ops, kind=kind):
-                    tb, al, c_ = ops
-                    _, vjp = jax.vjp(contrib(kind), tb, al, c_)
-                    return vjp(cot)
+                def body(ci, gctx_a):
+                    tab, alb = load(ci)
+                    _, vjp = jax.vjp(contrib(kind), tab, alb, ctx)
+                    gtb, gal, gctx_c = vjp(cot)
+                    dref_t[0, ci] += gtb
+                    dref_a[0, ci] += gal
+                    return tree_add(gctx_a, gctx_c)
 
-                def skipped(ops):
-                    tb, al, c_ = ops
-                    return (jnp.zeros_like(tb), jnp.zeros_like(al), gctx_zero)
+                return body
 
-                gtb, gal, gctx_c = jax.lax.cond(
-                    cs < cnt, taken, skipped, (tab, alb, ctx)
-                )
-                gctx = tree_add(gctx, gctx_c)
-                if kind == "tri":
-                    gtt_rows.append(gtb)
-                    gta_rows.append(gal)
-                else:
-                    gst_rows.append(gtb)
-                    gsa_rows.append(gal)
+            gctx = _ragged_fori(k_tri // CH, cnt_tri, cand_body("tri"), gctx)
+            gctx = _ragged_fori(k_sph // CH, cnt_sph, cand_body("sph"), gctx)
 
             # ---- assemble ------------------------------------------------
             gpv, gtd, gte = builder_vjp(gctx)
@@ -1505,34 +1507,32 @@ def _soft_tiled_bwd_pallas(
             d_tau[0] += jnp.concatenate(
                 [gtd.reshape(1, 1), gte.reshape(1, 1)], axis=1
             )
-            if gtt_rows:
-                d_tt[0] += jnp.concatenate(gtt_rows, axis=0)
-                d_ta[0] += jnp.concatenate(gta_rows, axis=0)
-            if gst_rows:
-                d_st[0] += jnp.concatenate(gst_rows, axis=0)
-                d_sa[0] += jnp.concatenate(gsa_rows, axis=0)
-            if gtsh_rows:
-                d_tsh[0] += jnp.concatenate(gtsh_rows, axis=0)
-            if gssh_rows:
-                d_ssh[0] += jnp.concatenate(gssh_rows, axis=0)
 
+    tile4 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    shared4 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i, sb: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
     tile3 = lambda shape: pl.BlockSpec(
         (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    shared3 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (0, 0, 0), memory_space=pltpu.VMEM
-    )
-    sh_spec = shared3 if projective else tile3
+    sh_spec = shared4 if projective else tile4
     f32 = jnp.float32
+    shapes3 = [tri_t.shape, tri_alb.shape, sph_t.shape, sph_alb.shape,
+               tsh_t.shape, ssh_t.shape]
+    tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t = map(
+        _chunked, (tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t)
+    )
     shapes = [tri_t.shape, tri_alb.shape, sph_t.shape, sph_alb.shape,
               tsh_t.shape, ssh_t.shape, (n_tiles, 1, n_params),
               (n_tiles, 1, 2)]
     out_specs = (
-        tile3(shapes[0]), tile3(shapes[1]), tile3(shapes[2]),
-        tile3(shapes[3]), sh_spec(shapes[4]), sh_spec(shapes[5]),
+        tile4(shapes[0]), tile4(shapes[1]), tile4(shapes[2]),
+        tile4(shapes[3]), sh_spec(shapes[4]), sh_spec(shapes[5]),
         tile3(shapes[6]), tile3(shapes[7]),
     )
-    return pl.pallas_call(
+    grads = pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct(s, f32) for s in shapes),
         grid=(n_tiles, n_sub),
@@ -1540,10 +1540,10 @@ def _soft_tiled_bwd_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            tile3(tri_t.shape),
-            tile3(tri_alb.shape),
-            tile3(sph_t.shape),
-            tile3(sph_alb.shape),
+            tile4(tri_t.shape),
+            tile4(tri_alb.shape),
+            tile4(sph_t.shape),
+            tile4(sph_alb.shape),
             sh_spec(tsh_t.shape),
             sh_spec(ssh_t.shape),
             pl.BlockSpec(
@@ -1560,6 +1560,8 @@ def _soft_tiled_bwd_pallas(
         interpret=interpret,
     )(params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t,
       g_tiles)
+    # un-chunk the table grads back to the gather tables' 3-D layout
+    return tuple(g.reshape(s) for g, s in zip(grads[:6], shapes3)) + grads[6:]
 
 
 def _soft_cfg(bins: SoftBins, packed, shading, shadows, tp):
