@@ -15,7 +15,7 @@ import dataclasses
 import json
 import os
 import xml.etree.ElementTree as ET
-from typing import Any, Mapping, Tuple
+from typing import Any, Mapping, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # Settings: the direct analogue of the reference's XML settings file.
@@ -160,18 +160,32 @@ class RenderConfig:
     shadow_cull_k: int = 64
 
     # Output: "int" reproduces the reference's int32 RGBA framebuffer
-    # (rayTracer.cl:198-201); "float" keeps float pixels (for grads).
+    # (rayTracer.cl:198-201); "float" keeps float pixels (for grads);
+    # "packed" is the presentation-layer framebuffer — ONE int32 per pixel
+    # holding R|G<<8|B<<16|255<<24 (the little-endian RGBA byte stream,
+    # channels clamped to [0,255] like utils/image.pack_rgba). Packed is
+    # the fastest path on the tiled Pallas backend (4 B/pixel of HBM
+    # traffic, no post-kernel untangling) and feeds the PNG/display
+    # pipeline with zero conversion.
     framebuffer_dtype: str = "int"
 
     # Device mesh shape for sharded rendering: (data,) over image rows.
-    mesh_shape: Tuple[int, ...] = (1,)
+    # None (default) = all visible devices; (n,) = an n-device mesh. Read by
+    # parallel/mesh.render_sharded and parallel/train.make_train_step when
+    # no explicit Mesh is passed (parallel/mesh.mesh_from_config).
+    mesh_shape: Optional[Tuple[int, ...]] = None
 
     def validate(self) -> "RenderConfig":
         if self.shading not in SHADING_MODES:
             raise ValueError(f"shading must be one of {SHADING_MODES}")
         if self.backend not in BACKENDS:
             raise ValueError(f"backend must be one of {BACKENDS}")
-        if self.soft and self.framebuffer_dtype == "int":
+        if self.framebuffer_dtype not in ("int", "float", "packed"):
+            raise ValueError(
+                "framebuffer_dtype must be 'int', 'float' or 'packed', got "
+                f"{self.framebuffer_dtype!r}"
+            )
+        if self.soft and self.framebuffer_dtype != "float":
             raise ValueError("soft rendering requires framebuffer_dtype='float'")
         if self.msaa not in (0, 1, 2, 4, 8, 16):
             raise ValueError(f"msaa must be one of 0/1/2/4/8/16, got {self.msaa}")
@@ -179,6 +193,30 @@ class RenderConfig:
             raise ValueError("tile_w must be a multiple of 128 (TPU lane dim)")
         if self.tile_h % 8 != 0:
             raise ValueError("tile_h must be a multiple of 8 (TPU sublane dim)")
+        # The tiled kernels consume candidate tables in 8-sublane chunks
+        # (kernels/fwd_tiled.py CHUNK, kernels/soft_tiled.py CH): K caps
+        # that are not 8-multiples would fail deep inside the kernel with
+        # an opaque reshape error at trace time — reject them here.
+        if self.cull_k % 8 != 0:
+            raise ValueError(
+                f"cull_k must be a multiple of 8 (TPU sublane chunk), got "
+                f"{self.cull_k}"
+            )
+        if self.shadow_cull_k % 8 != 0:
+            raise ValueError(
+                f"shadow_cull_k must be a multiple of 8 (TPU sublane chunk), "
+                f"got {self.shadow_cull_k}"
+            )
+        if self.mesh_shape is not None:
+            if (
+                not isinstance(self.mesh_shape, tuple)
+                or not self.mesh_shape
+                or any(int(n) <= 0 for n in self.mesh_shape)
+            ):
+                raise ValueError(
+                    "mesh_shape must be None (all devices) or a tuple of "
+                    f"positive ints, got {self.mesh_shape!r}"
+                )
         return self
 
     def replace(self, **kw: Any) -> "RenderConfig":
@@ -196,13 +234,14 @@ class RenderConfig:
                 data = json.load(f)
         else:
             data = json.loads(path_or_text)
-        if "mesh_shape" in data:
+        if data.get("mesh_shape") is not None:
             data["mesh_shape"] = tuple(data["mesh_shape"])
         return cls(**data).validate()
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
-        d["mesh_shape"] = list(d["mesh_shape"])
+        if d["mesh_shape"] is not None:
+            d["mesh_shape"] = list(d["mesh_shape"])
         return json.dumps(d, indent=2)
 
 

@@ -490,6 +490,9 @@ def _shadow_tables(rows_per_light, box, n_real, nty, ntx, k, lights_pos,
 # Kernel
 # ---------------------------------------------------------------------------
 
+_ALPHA_BITS = -16777216  # 0xFF000000 as int32: alpha=255 in packed RGBA words
+
+
 def _build_tiled_kernel(
     *,
     ntx: int,
@@ -501,20 +504,27 @@ def _build_tiled_kernel(
     shading: str,
     shadows: bool,
     projective: bool = False,
+    out_packed: bool = False,
 ):
     TP = SUB_PIX
-    FT = SUB_PIX // 8  # folded lane width: (1, TP) <-> (8, FT)
+    # Folded layout: (1, TP) <-> (FOLD, FT). The unpacked kernel folds to
+    # 8 sublanes (one vreg) per channel row; the PACKED kernel folds to 16
+    # sublanes so FT == TILE_W — each folded sublane is then a literal
+    # image row and the packed int32 words store straight into an (H, W)
+    # framebuffer block with no post-kernel untangling at all.
+    FOLD = 16 if out_packed else 8
+    FT = SUB_PIX // FOLD
 
     def fold(a):
-        """(1, TP) -> (8, FT): row s holds pixels [s*FT, (s+1)*FT).
+        """(1, TP) -> (FOLD, FT): row s holds pixels [s*FT, (s+1)*FT).
 
         (1, N) vectors occupy only sublane 0 of each vreg (1/8 VPU
         utilization); the shading phase folds its per-pixel state into all
-        8 sublanes so every elementwise op runs at full width. Flattening
-        (8, FT) row-major gives back the original pixel order, so indices
+        sublanes so every elementwise op runs at full width. Flattening
+        (FOLD, FT) row-major gives back the original pixel order, so indices
         line up with iota-derived coordinates."""
         return jnp.concatenate(
-            [a[:, s * FT : (s + 1) * FT] for s in range(8)], axis=0
+            [a[:, s * FT : (s + 1) * FT] for s in range(FOLD)], axis=0
         )
 
     # There is deliberately NO unfold: the kernel writes folded (8, FT)
@@ -697,17 +707,37 @@ def _build_tiled_kernel(
         return vis
 
     def kernel(
-        params_ref,     # (P,) f32 SMEM
-        counts_ref,     # (n_tiles, 2 + 2L) int32 SMEM
-        tri_coef_ref,   # (1, k_tri, 16)
-        tri_attr_ref,   # (1, k_tri, 8)
-        sph_coef_ref,   # (1, k_sph, 16)
-        sph_attr_ref,   # (1, k_sph, 8)
-        tri_sh_ref,     # (1, L*k_sh_tri, 16) frustum planes (shadows)
-        sph_sh_ref,     # (1, L*k_sh_sph, 16) occluder spheres
-        out_ref,        # (1, 4ch * N_SUB * 8, FT) channel-major folded rows
+        *refs,
+        # unpacked:  (params, counts, tri_coef, tri_attr, sph_coef,
+        #             sph_attr, tri_sh, sph_sh, out)
+        # packed:    (order, inmap, params, counts, ..., out) — order/inmap
+        #            are the scalar-prefetched TILE WORKLIST (see the
+        #            packed wrapper): step i processes tile order[i]
+        #            (nonempty tiles first), reading tables of tile
+        #            inmap[i] (== order[i] while i < n_nonempty, then
+        #            pinned to the last nonempty tile so the trailing
+        #            empty steps re-visit a resident block — zero DMA).
     ):
-        i = pl.program_id(0)
+        if out_packed:
+            (inmap_ref, params_ref, counts_ref, tri_coef_ref,
+             tri_attr_ref, sph_coef_ref, sph_attr_ref, tri_sh_ref,
+             sph_sh_ref, _prefill_ref, out_ref) = refs
+            step = pl.program_id(0)
+            i = inmap_ref[step]
+            # worklist length M rides in the last slot of the prefetched
+            # map (see the packed wrapper). Steps >= M are no-ops: their
+            # blocks all pin to the last nonempty tile (resident, no DMA)
+            # and they store nothing — the aliased prefill buffer already
+            # holds the empty-tile constant. step == 0 stays active so an
+            # all-empty frame still writes tile 0's (visited) out block.
+            m = inmap_ref[inmap_ref.shape[0] - 1]
+            active = (step < m) | (step == 0)
+        else:
+            (params_ref, counts_ref, tri_coef_ref, tri_attr_ref,
+             sph_coef_ref, sph_attr_ref, tri_sh_ref, sph_sh_ref,
+             out_ref) = refs
+            i = pl.program_id(0)
+            active = None
         ty = i // ntx
         tx = i - ty * ntx
         x0 = (tx * TILE_W).astype(jnp.float32)
@@ -820,8 +850,8 @@ def _build_tiled_kernel(
                 # winner state + visibility masks fold. All formulas are
                 # bit-identical to the unfolded math, so oracle parity is
                 # unaffected.
-                lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, FT), 1)
-                sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, FT), 0)
+                lane8 = jax.lax.broadcasted_iota(jnp.int32, (FOLD, FT), 1)
+                sub8 = jax.lax.broadcasted_iota(jnp.int32, (FOLD, FT), 0)
                 x8 = x0 + (lane8 % TILE_W).astype(jnp.float32)
                 row8 = (FT // TILE_W) * sub8 + lane8 // TILE_W
                 y8 = (
@@ -877,12 +907,12 @@ def _build_tiled_kernel(
                 ambient = scalar(params_ref, _P_AMBIENT)
                 spec_k = scalar(params_ref, _P_SPEC)
                 shine = scalar(params_ref, _P_SHINE)
-                diff_r = jnp.zeros((8, FT), jnp.float32)
-                diff_g = jnp.zeros((8, FT), jnp.float32)
-                diff_b = jnp.zeros((8, FT), jnp.float32)
-                spec_r = jnp.zeros((8, FT), jnp.float32)
-                spec_g = jnp.zeros((8, FT), jnp.float32)
-                spec_b = jnp.zeros((8, FT), jnp.float32)
+                diff_r = jnp.zeros((FOLD, FT), jnp.float32)
+                diff_g = jnp.zeros((FOLD, FT), jnp.float32)
+                diff_b = jnp.zeros((FOLD, FT), jnp.float32)
+                spec_r = jnp.zeros((FOLD, FT), jnp.float32)
+                spec_g = jnp.zeros((FOLD, FT), jnp.float32)
+                spec_b = jnp.zeros((FOLD, FT), jnp.float32)
                 for li in range(n_lights):
                     base = _P_LIGHTS + li * _LIGHT_STRIDE
                     lpx, lpy, lpz = (scalar(params_ref, base + q) for q in range(3))
@@ -929,36 +959,68 @@ def _build_tiled_kernel(
                 g8 = jnp.where(hit8, g8, 0.0)
                 b8 = jnp.where(hit8, b8, 0.0)
 
-            # Channel-major folded stores: channel c of sub-block sb owns
-            # output rows [c*N_SUB*8 + sb*8, +8). All 8-sublane-aligned, no
-            # relayout; the wrapper's untangle pass restores image order.
-            # Only the 4 RGBA channels are emitted: aux (t/hit) channels had
-            # no consumer and doubled both the HBM store traffic and the
-            # post-kernel untangle cost.
-            channels = (
-                r8, g8, b8,
-                jnp.full((8, FT), 255.0, jnp.float32),
-            )
-            base_row = pl.multiple_of(sb * 8, 8)
-            for c, val8 in enumerate(channels):
-                out_ref[0, pl.ds(c * (N_SUB * 8) + base_row, 8), :] = val8
+            if out_packed:
+                # PACKED store: clamp to the byte range (the display-path
+                # semantics of utils/image.pack_rgba), truncate to int (the
+                # reference's int cast, rayTracer.cl:193-196) and pack
+                # R | G<<8 | B<<16 | 255<<24 into ONE int32 per pixel — the
+                # little-endian RGBA byte stream the PNG/display path wants.
+                # The multiplies are exact shifts (channels < 256, no
+                # carries). With FOLD=16, FT == TILE_W, so the (16, 128)
+                # word block IS image rows [sb*16, +16) of the tile: one
+                # aligned store, 4 B/pixel, nothing to untangle after.
+                ri = jnp.clip(r8, 0.0, 255.0).astype(jnp.int32)
+                gi = jnp.clip(g8, 0.0, 255.0).astype(jnp.int32)
+                bi = jnp.clip(b8, 0.0, 255.0).astype(jnp.int32)
+                word = ri + gi * 256 + bi * 65536 + jnp.int32(_ALPHA_BITS)
+                base_row = pl.multiple_of(sb * ROWS_PER_SUB, 8)
+                out_ref[pl.ds(base_row, ROWS_PER_SUB), :] = word
+            else:
+                # Channel-major folded stores: channel c of sub-block sb owns
+                # output rows [c*N_SUB*8 + sb*8, +8). All 8-sublane-aligned,
+                # no relayout; the wrapper's untangle pass restores image
+                # order. Only the 4 RGBA channels are emitted: aux (t/hit)
+                # channels had no consumer and doubled both the HBM store
+                # traffic and the post-kernel untangle cost.
+                channels = (
+                    r8, g8, b8,
+                    jnp.full((FOLD, FT), 255.0, jnp.float32),
+                )
+                base_row = pl.multiple_of(sb * 8, 8)
+                for c, val8 in enumerate(channels):
+                    out_ref[0, pl.ds(c * (N_SUB * 8) + base_row, 8), :] = val8
             return 0
 
         # Empty tiles (no primary candidates — ~89% of the sparse headline
         # frame): zero hits means the full pipeline provably writes rgb=0,
         # alpha=255, so skip ray tests AND shading and store the constant.
         empty = (cnt_tri + cnt_sph) == 0
+        if active is not None:
+            # packed worklist: inactive steps do NOTHING (their out block
+            # is the last nonempty tile's, already fully stored by an
+            # earlier step; storing here would corrupt it, and the aliased
+            # prefill already covers every unvisited empty tile).
+            store_const = empty & active
+            compute = jnp.logical_not(empty) & active
+        else:
+            store_const = empty
+            compute = jnp.logical_not(empty)
 
-        @pl.when(empty)
+        @pl.when(store_const)
         def _():
-            out_ref[0, pl.ds(0, 3 * N_SUB * 8), :] = jnp.zeros(
-                (3 * N_SUB * 8, FT), jnp.float32
-            )
-            out_ref[0, pl.ds(3 * N_SUB * 8, N_SUB * 8), :] = jnp.full(
-                (N_SUB * 8, FT), 255.0, jnp.float32
-            )
+            if out_packed:
+                out_ref[:, :] = jnp.full(
+                    (TILE_H, TILE_W), _ALPHA_BITS, jnp.int32
+                )
+            else:
+                out_ref[0, pl.ds(0, 3 * N_SUB * 8), :] = jnp.zeros(
+                    (3 * N_SUB * 8, FT), jnp.float32
+                )
+                out_ref[0, pl.ds(3 * N_SUB * 8, N_SUB * 8), :] = jnp.full(
+                    (N_SUB * 8, FT), 255.0, jnp.float32
+                )
 
-        @pl.when(jnp.logical_not(empty))
+        @pl.when(compute)
         def _():
             # fori_loop (not an unrolled python loop) so each sub-block
             # reuses the same VMEM temporaries — unrolling all sub-blocks
@@ -1175,7 +1237,7 @@ def _gather_coefs(coef, idx, valid, null_col):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "shading", "shadows", "as_int",
+    static_argnames=("height", "width", "shading", "shadows", "out_format",
                      "interpret"),
 )
 def _render_tiled_jit(
@@ -1187,7 +1249,7 @@ def _render_tiled_jit(
     width: int,
     shading: str,
     shadows: bool,
-    as_int: bool = True,
+    out_format: str = "int",
     interpret: bool = False,
 ):
     from opencl_ray_tracer_tpu.kernels.fwd import _render_pallas_jit
@@ -1229,6 +1291,7 @@ def _render_tiled_jit(
     params = _camera_params(camera, packed.lights)
     n_lights = packed.lights.position.shape[0]
 
+    out_packed = out_format == "packed"
     kernel = _build_tiled_kernel(
         ntx=ntx,
         k_tri=bins.k_tri,
@@ -1239,19 +1302,33 @@ def _render_tiled_jit(
         shading=shading,
         shadows=shadows,
         projective=projective,
+        out_packed=out_packed,
     )
+
+    tile3 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # projective shadow tables are shared by all tiles: pin to block 0
+    # (the pipeline keeps a revisited block resident — no per-tile DMA).
+    shared3 = lambda shape: pl.BlockSpec(
+        (1,) + shape[1:], lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sh_spec = shared3 if projective else tile3
+
+    def in_specs():
+        return [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tile3(tri_coef_t.shape),
+            tile3(bins.tri_attr_t.shape),
+            tile3(sph_coef_t.shape),
+            tile3(bins.sph_attr_t.shape),
+            sh_spec(bins.tri_sh_t.shape),
+            sh_spec(bins.sph_sh_t.shape),
+        ]
 
     def tiled_render(operands):
         (params_, counts, tc, ta, sc, sa, tsh, ssh) = operands
-        tile3 = lambda shape: pl.BlockSpec(
-            (1,) + shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        # projective shadow tables are shared by all tiles: pin to block 0
-        # (the pipeline keeps a revisited block resident — no per-tile DMA).
-        shared3 = lambda shape: pl.BlockSpec(
-            (1,) + shape[1:], lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-        )
-        sh_spec = shared3 if projective else tile3
         # Output rows are channel-major folded: row c*N_SUB*8 + sb*8 + s of
         # a tile holds channel c pixels [sb*SUB_PIX + s*FT, +FT).
         ft = SUB_PIX // 8
@@ -1261,16 +1338,7 @@ def _render_tiled_jit(
                 (n_tiles, 4 * N_SUB * 8, ft), jnp.float32
             ),
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                tile3(tc.shape),
-                tile3(ta.shape),
-                tile3(sc.shape),
-                tile3(sa.shape),
-                sh_spec(tsh.shape),
-                sh_spec(ssh.shape),
-            ],
+            in_specs=in_specs(),
             out_specs=pl.BlockSpec(
                 (1, 4 * N_SUB * 8, ft), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -1283,6 +1351,97 @@ def _render_tiled_jit(
             4, nty * TILE_H, ntx * TILE_W
         )
         return img[:, :height, :width]
+
+    def tiled_render_packed(operands):
+        (params_, counts, tc, ta, sc, sa, tsh, ssh) = operands
+        # PACKED path: the kernel's (TILE_H, TILE_W) int32 word blocks map
+        # straight into the (H, W) framebuffer via the block index map —
+        # 4 B/pixel of HBM store and ZERO post-kernel data movement (the
+        # old float path wrote 16 B/px then paid a full-frame untangle
+        # transpose + moveaxis + trunc: ~6x the frame's HBM traffic).
+        #
+        # TILE WORKLIST (scalar prefetch + aliased prefill): sparse frames
+        # are dominated by per-grid-step overhead on EMPTY tiles (~1.07
+        # us/step measured on v5e — an almost-empty 1080p frame cost 270
+        # us; re-pinning only the input blocks recovered nothing, so the
+        # floor is the per-step OUTPUT block writeback + step sequencing,
+        # not input DMA issue). Scheme: the output buffer is ALIASED onto
+        # a prefilled empty-tile-constant frame, the grid runs a
+        # prefetched worklist with the M nonempty tiles first, and every
+        # step past M is a true no-op — all its blocks (in AND out) pin to
+        # the last nonempty tile (resident, zero DMA) and the kernel
+        # stores nothing, so empty tiles are never visited at all; their
+        # pixels come from the prefill. Verified semantics: pallas writes
+        # back only blocks the out index map visits, aliasing preserves
+        # the rest (interpret + compiled probe, round 4).
+        empty_flag = (counts[:, 0] + counts[:, 1]) == 0
+        m = jnp.sum((~empty_flag).astype(jnp.int32))
+        order = jnp.argsort(empty_flag, stable=True).astype(jnp.int32)
+        last_ne = order[jnp.maximum(m - 1, 0)]
+        inmap = jnp.where(
+            jnp.arange(n_tiles, dtype=jnp.int32) < m, order, last_ne
+        )
+        # worklist + its length M ride in one prefetched scalar array
+        inmap = jnp.concatenate([inmap, m[None]])
+        prefill = jnp.full(
+            (nty * TILE_H, ntx * TILE_W), _ALPHA_BITS, jnp.int32
+        )
+
+        def tile3_w(shape):
+            return pl.BlockSpec(
+                (1,) + shape[1:],
+                lambda i, im: (im[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def shared3_w(shape):
+            return pl.BlockSpec(
+                (1,) + shape[1:],
+                lambda i, im: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        sh_spec_w = shared3_w if projective else tile3_w
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # inmap (+ M in its last slot)
+            # DYNAMIC grid: launch only the nonempty-tile steps (grid dims
+            # may be traced scalars on TPU — verified compiled, round 4).
+            # Empty tiles are never sequenced at all; at ~1.2 us of pure
+            # per-step overhead each, this is what actually removes the
+            # sparse-frame floor (re-pinning blocks + skipping stores
+            # recovered nothing: the cost was step sequencing itself).
+            # max(m, 1): an all-empty frame still runs step 0, whose
+            # kernel stores the background constant into tile 0's block.
+            grid=(jnp.maximum(m, 1),),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                tile3_w(tc.shape),
+                tile3_w(ta.shape),
+                tile3_w(sc.shape),
+                tile3_w(sa.shape),
+                sh_spec_w(tsh.shape),
+                sh_spec_w(ssh.shape),
+                pl.BlockSpec(memory_space=pl.ANY),  # prefill, aliased
+            ],
+            out_specs=pl.BlockSpec(
+                (TILE_H, TILE_W),
+                lambda i, im: (im[i] // ntx, im[i] % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (nty * TILE_H, ntx * TILE_W), jnp.int32
+            ),
+            grid_spec=grid_spec,
+            # operand order: inmap(scalar)=0, params=1, counts=2, tables
+            # 3..8, prefill=9 -> aliased to output 0
+            input_output_aliases={9: 0},
+            interpret=interpret,
+        )(inmap, params_, counts, tc, ta, sc, sa, tsh, ssh, prefill)
+        return out[:height, :width]
 
     def brute_render(operands):
         del operands
@@ -1300,14 +1459,25 @@ def _render_tiled_jit(
         # match tiled_render's planar (4, H, W) contract
         return jnp.moveaxis(rgba, -1, 0)
 
+    def brute_render_packed(operands):
+        img = brute_render(operands)  # (4, H, W) float
+        ch = jnp.clip(img, 0.0, 255.0).astype(jnp.int32)
+        return (
+            ch[0] + ch[1] * 256 + ch[2] * 65536 + jnp.int32(_ALPHA_BITS)
+        )
+
     operands = (
         params, bins.counts, tri_coef_t, bins.tri_attr_t, sph_coef_t,
         bins.sph_attr_t, bins.tri_sh_t, bins.sph_sh_t,
     )
+    if out_packed:
+        return jax.lax.cond(
+            bins.overflow, brute_render_packed, tiled_render_packed, operands
+        )
     img = jax.lax.cond(bins.overflow, brute_render, tiled_render, operands)
 
     rgba = jnp.moveaxis(img[0:4], 0, -1)  # (H, W, 4)
-    if as_int:
+    if out_format == "int":
         return jnp.trunc(rgba).astype(jnp.int32)
     return rgba
 
@@ -1381,6 +1551,6 @@ def render_tiled_packed(
         width=config.width,
         shading=config.shading,
         shadows=config.shadows,
-        as_int=config.framebuffer_dtype == "int",
+        out_format=config.framebuffer_dtype,
         interpret=interpret,
     )

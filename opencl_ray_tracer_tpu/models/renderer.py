@@ -71,9 +71,26 @@ def render(
         out = acc * (1.0 / config.msaa)
         if config.framebuffer_dtype == "int":
             out = jnp.round(out).astype(jnp.int32)
+        elif config.framebuffer_dtype == "packed":
+            from opencl_ray_tracer_tpu.ops.shading import pack_framebuffer_words
+
+            out = pack_framebuffer_words(jnp.round(out))
         return out
 
     b = resolve_backend(backend if backend is not None else config.backend)
+
+    # Packed framebuffers: native on the tiled Pallas path (the kernel emits
+    # the words directly); other backends render float and pack in-graph.
+    if config.framebuffer_dtype == "packed" and not (
+        b == Backend.PALLAS and not config.soft
+    ):
+        from opencl_ray_tracer_tpu.ops.shading import pack_framebuffer_words
+
+        rgba = render(
+            scene, camera, config.replace(framebuffer_dtype="float"),
+            backend=backend,
+        )
+        return pack_framebuffer_words(rgba)
 
     if config.soft:
         if b == Backend.PALLAS:

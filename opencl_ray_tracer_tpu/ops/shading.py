@@ -111,3 +111,19 @@ def to_int_framebuffer(rgba: jax.Array) -> jax.Array:
     rayTracer.cl:198-201 (values can be negative in legacy mode when
     t > 180; that quirk is preserved)."""
     return jnp.trunc(rgba).astype(jnp.int32)
+
+
+ALPHA_BITS = -16777216  # 0xFF000000 as int32: alpha=255 in packed RGBA words
+
+
+def pack_framebuffer_words(rgba: jax.Array) -> jax.Array:
+    """(..., H, W, 4) 0..255 RGBA (int or float) -> (..., H, W) packed int32
+    words R|G<<8|B<<16|255<<24, channels clamped to [0, 255] — the in-graph
+    twin of the tiled Pallas kernel's packed output format and of
+    utils/image.pack_rgba's byte clamping. Alpha is forced opaque (the
+    reference writes 255, rayTracer.cl:187-196)."""
+    ch = jnp.clip(rgba, 0.0, 255.0).astype(jnp.int32)
+    return (
+        ch[..., 0] + ch[..., 1] * 256 + ch[..., 2] * 65536
+        + jnp.int32(ALPHA_BITS)
+    )

@@ -17,9 +17,25 @@ from __future__ import annotations
 import numpy as np
 
 
+def unpack_words(words) -> np.ndarray:
+    """(H, W) packed int32 RGBA words -> (H, W, 4) uint8.
+
+    The packed framebuffer (RenderConfig.framebuffer_dtype='packed') stores
+    R|G<<8|B<<16|A<<24 per pixel — the little-endian RGBA byte stream — so
+    unpacking is a byte view, not arithmetic."""
+    w = np.ascontiguousarray(np.asarray(words), dtype="<i4")
+    return w.view(np.uint8).reshape(w.shape + (4,))
+
+
 def pack_rgba(framebuffer) -> np.ndarray:
-    """(H, W, 4) int32/float32 -> (H, W, 4) uint8, clamped."""
+    """(H, W, 4) int32/float32 -> (H, W, 4) uint8, clamped.
+
+    Also accepts a 2-D (H, W) int32 PACKED framebuffer (one RGBA word per
+    pixel, the tiled Pallas kernel's fastest output format) — the packed
+    words are already the clamped byte stream, so conversion is free."""
     fb = np.asarray(framebuffer)
+    if fb.ndim == 2 and fb.dtype == np.int32:
+        return unpack_words(fb)
     try:
         from opencl_ray_tracer_tpu.native import pack_rgba_native
 
