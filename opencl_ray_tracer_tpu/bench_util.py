@@ -1,14 +1,22 @@
 """Device-throughput measurement that survives a high-latency control path.
 
-The axon-tunneled TPU has ~ms per-dispatch latency and slow host<->device
+The axon-tunneled TPU has large per-dispatch latency and slow host<->device
 transfers, and XLA will CSE identical pure render calls inside one graph.
 Per-call block_until_ready timing therefore measures the tunnel, not the
 chip (and can even under-report: the platform occasionally returns early).
 
-`device_frame_time_us` measures the real thing: N frames inside ONE jitted
-lax.scan, each frame with a DIFFERENT camera origin (defeats CSE; identical
-compute cost), each frame consumed into a scalar carry (defeats DCE). One
-dispatch, one fence; wall time / N converges to pure device time as N grows.
+`device_frame_time_us` measures the real thing in two moves:
+
+1. N frames inside ONE jitted lax.scan, each frame with a DIFFERENT camera
+   origin (defeats CSE; identical compute), each frame consumed into a
+   scalar carry (defeats DCE). One dispatch, one fence.
+2. TWO-POINT SLOPE: even a single dispatch+fence costs ~28-30 ms on this
+   platform (measured round 4 — a trivial-body scan run costs the same
+   ~30 ms as a 25-frame render run), so wall/N carries a +30ms/N bias
+   that looked like a ~300 us/frame floor at N=100 and inflated every
+   round-1..3 number. Timing BOTH an N1- and an N2-frame run and taking
+   (t(N2) - t(N1)) / (N2 - N1) cancels the per-call constant exactly;
+   what remains is pure per-frame device time.
 """
 
 from __future__ import annotations
@@ -21,17 +29,9 @@ import jax
 import jax.numpy as jnp
 
 
-def device_frame_time_us(
-    render_fn: Callable,
-    camera,
-    n_frames: int = 100,
-    reps: int = 3,
-) -> float:
-    """Median per-frame device time in microseconds.
-
-    render_fn(camera) -> framebuffer array; camera is a Camera pytree whose
-    o0 is perturbed per frame by a sub-pixel jitter (identical compute).
-    """
+def _scan_total_us(render_fn, camera, n_frames: int, reps: int,
+                   scalar_body: bool) -> float:
+    """Median total wall time (us) of ONE jitted n_frames-scan dispatch."""
 
     @jax.jit
     def run(cam0):
@@ -39,10 +39,17 @@ def device_frame_time_us(
 
         def body(acc, e):
             cam = dataclasses.replace(cam0, o0=cam0.o0 + e * 1e-3)
+            if scalar_body:
+                return acc + render_fn(cam).astype(jnp.float32), ()
             fb = render_fn(cam)
-            probe = fb[5, 5, 0].astype(jnp.float32) + fb[-1, -1, 1].astype(
-                jnp.float32
-            )
+            if fb.ndim == 2:  # packed int32 words
+                probe = (fb[5, 5] & 0xFF).astype(jnp.float32) + (
+                    fb[-1, -1] & 0xFF
+                ).astype(jnp.float32)
+            else:
+                probe = fb[5, 5, 0].astype(jnp.float32) + fb[
+                    -1, -1, 1
+                ].astype(jnp.float32)
             return acc + probe, ()
 
         acc, _ = jax.lax.scan(body, jnp.float32(0.0), jit_eps)
@@ -55,9 +62,30 @@ def device_frame_time_us(
         t0 = time.perf_counter_ns()
         out = run(camera)
         jax.block_until_ready(out)
-        samples.append((time.perf_counter_ns() - t0) / 1e3 / n_frames)
+        samples.append((time.perf_counter_ns() - t0) / 1e3)
     samples.sort()
     return samples[len(samples) // 2]
+
+
+def _slope_us(render_fn, camera, n_frames: int, reps: int,
+              scalar_body: bool) -> float:
+    n1 = max(n_frames // 8, 4)
+    t1 = _scan_total_us(render_fn, camera, n1, reps, scalar_body)
+    t2 = _scan_total_us(render_fn, camera, n_frames, reps, scalar_body)
+    return max((t2 - t1) / (n_frames - n1), 0.0)
+
+
+def device_frame_time_us(
+    render_fn: Callable,
+    camera,
+    n_frames: int = 100,
+    reps: int = 3,
+) -> float:
+    """Per-frame device time in microseconds (two-point slope, see module
+    docstring). render_fn(camera) -> framebuffer array; camera is a Camera
+    pytree whose o0 is perturbed per frame by a sub-pixel jitter (identical
+    compute)."""
+    return _slope_us(render_fn, camera, n_frames, reps, scalar_body=False)
 
 
 def device_step_time_us(
@@ -66,31 +94,7 @@ def device_step_time_us(
     n_frames: int = 30,
     reps: int = 3,
 ) -> float:
-    """Median per-step device time in microseconds for SCALAR-returning steps.
-
-    Same CSE/DCE-defeating scan structure as device_frame_time_us, but
-    step_fn(camera) -> scalar (e.g. a loss whose grad was already consumed
-    into it) — the shape for timing fwd+bwd passes.
-    """
-
-    @jax.jit
-    def run(cam0):
-        jit_eps = jnp.linspace(0.0, 0.125, n_frames)
-
-        def body(acc, e):
-            cam = dataclasses.replace(cam0, o0=cam0.o0 + e * 1e-3)
-            return acc + step_fn(cam).astype(jnp.float32), ()
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jit_eps)
-        return acc
-
-    out = run(camera)
-    jax.block_until_ready(out)
-    samples = []
-    for _ in range(reps):
-        t0 = time.perf_counter_ns()
-        out = run(camera)
-        jax.block_until_ready(out)
-        samples.append((time.perf_counter_ns() - t0) / 1e3 / n_frames)
-    samples.sort()
-    return samples[len(samples) // 2]
+    """Per-step device time in microseconds for SCALAR-returning steps
+    (e.g. a loss whose grad was already consumed into it) — the shape for
+    timing fwd+bwd passes. Same slope structure as device_frame_time_us."""
+    return _slope_us(step_fn, camera, n_frames, reps, scalar_body=True)

@@ -88,13 +88,17 @@ from opencl_ray_tracer_tpu.kernels.soft import NEG_BIG, VMEM_LIMIT_BYTES
 from opencl_ray_tracer_tpu.ops.intersect import EPSILON
 from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
 
+import os as _os
+
 CH = 8                 # primitives per sublane chunk
 SUB_PIX_FWD = 2048     # lane width per inner iteration (fwd)
 # bwd strip width: the decomposed bwd keeps no cross-chunk residuals so
-# wider strips FIT, but measured on v5e the 2048-lane strip wins (8192:
-# 5.4ms, 4096: ?, 2048: 4.4ms headline fwd+bwd) — narrower strips pipeline
-# better across grid steps.
-SUB_PIX_BWD = 2048
+# wider strips FIT. Swept on v5e via scripts/sweep_sub_pix_bwd.py (headline
+# 1080p phong+shadows fwd+bwd; measured table in docs/PERF.md) — 2048
+# wins: narrower strips pipeline better across grid steps, wider ones
+# amortize loop overhead but lose overlap. Overridable for re-sweeps via
+# OCTRT_SUB_PIX_BWD (must divide TILE_PIX).
+SUB_PIX_BWD = int(_os.environ.get("OCTRT_SUB_PIX_BWD", "2048"))
 # Coverage sigmoids are exp-small this many tau_edge units outside a
 # primitive; 16 sigma => sigmoid ~ 1.1e-7, below visibility in a 0..255
 # image and below the 1e-4 gradient tolerance.

@@ -45,18 +45,74 @@ def sol_fraction(
     n_prim_slots: int,
     ops_per_pair: float = 14.0,
     bytes_per_pixel: float = 36.0,
+    shading_ops_per_pixel: float = 0.0,
+    shaded_fraction: float = 1.0,
     vpu_flops: float = V5E_VPU_FLOPS,
     hbm_bw: float = V5E_HBM_BW,
 ) -> dict:
     """Speed-of-light fraction for a brute/tiled trace kernel.
 
-    Model: VPU ops = pixels * prim_slots * ops_per_pair; HBM = framebuffer
-    writes (+ ray gen is in-register, scene is VMEM-resident). Returns the
-    binding resource and achieved fraction of its ceiling.
+    Model: VPU ops = pixels * (prim_slots * ops_per_pair +
+    shaded_fraction * shading_ops_per_pixel); HBM = framebuffer writes
+    (+ ray gen is in-register, scene is VMEM-resident). `n_prim_slots` is
+    the mean EXECUTED candidate slots per pixel (after culling/ragged
+    skipping); `shading_ops_per_pixel` is the per-pixel post-hit cost
+    (normal + lighting + pack) charged only on the `shaded_fraction` of
+    pixels whose tiles run the shading phase (empty tiles skip it).
+    Returns the binding resource and achieved fraction of its ceiling.
     """
     t = frame_us / 1e6
-    vpu_t = n_pixels * n_prim_slots * ops_per_pair / vpu_flops
+    vpu_ops = n_pixels * (
+        n_prim_slots * ops_per_pair
+        + shaded_fraction * shading_ops_per_pixel
+    )
+    vpu_t = vpu_ops / vpu_flops
     hbm_t = n_pixels * bytes_per_pixel / hbm_bw
+    bound = "vpu" if vpu_t >= hbm_t else "hbm"
+    ideal = max(vpu_t, hbm_t)
+    return {
+        "bound": bound,
+        "ideal_us": ideal * 1e6,
+        "achieved_fraction": ideal / t if t > 0 else 0.0,
+        "vpu_us": vpu_t * 1e6,
+        "hbm_us": hbm_t * 1e6,
+    }
+
+
+def sol_fraction_bwd(
+    step_us: float,
+    n_pixels: int,
+    n_prim_slots: int,
+    ops_per_pair_fwd: float = 30.0,
+    bwd_multiplier: float = 3.0,
+    shading_ops_per_pixel: float = 250.0,
+    grad_table_bytes_per_pixel: float = 0.0,
+    out_bytes_per_pixel: float = 36.0,
+    vpu_flops: float = V5E_VPU_FLOPS,
+    hbm_bw: float = V5E_HBM_BW,
+) -> dict:
+    """Speed-of-light model for the SOFT fwd+bwd step (VERDICT r3 #2).
+
+    The decomposed backward (kernels/soft_tiled.py) RECOMPUTES the forward
+    per tile, then runs one vjp per candidate/occluder chunk, so:
+
+      VPU ops = pixels * [ fwd work * (1 + bwd_multiplier) ]
+        where fwd work = prim_slots * ops_per_pair_fwd + shading ops,
+        and bwd_multiplier models vjp cost per recomputed op (reverse-mode
+        FMA chains cost ~2-3x their primal).
+      HBM = fwd output (8 f32 rows/px) + gradient TABLE blocks written per
+        tile + their XLA scatter-add read-back (grad_table_bytes_per_pixel
+        counts both directions).
+
+    Soft candidate tests are heavier than hard ones (sigmoids + softmin
+    bookkeeping): ops_per_pair_fwd ~30 vs the hard kernel's 14.
+    """
+    t = step_us / 1e6
+    fwd_ops = n_prim_slots * ops_per_pair_fwd + shading_ops_per_pixel
+    vpu_t = n_pixels * fwd_ops * (1.0 + bwd_multiplier) / vpu_flops
+    hbm_t = (
+        n_pixels * (out_bytes_per_pixel + grad_table_bytes_per_pixel) / hbm_bw
+    )
     bound = "vpu" if vpu_t >= hbm_t else "hbm"
     ideal = max(vpu_t, hbm_t)
     return {

@@ -219,3 +219,61 @@ def test_tiled_soft_saturation_pin(scene):
         np.testing.assert_allclose(
             a / scale, b / scale, atol=2e-2, err_msg=name
         )
+
+
+def test_tile_soft_T_counts_none_static_unroll(scene):
+    """The counts=None static-unroll contract of _tile_soft_T/_ragged_fori
+    (ADVICE r3): running every chunk over null-padded tables must equal the
+    ragged counts path (null slots contribute zeros; the two lowerings —
+    python unroll vs fori_loop — may differ by FMA-contraction noise across
+    separately compiled programs, so tolerance is float noise in the 0..255
+    domain, not bitwise)."""
+    from opencl_ray_tracer_tpu.kernels.fwd import _camera_params
+    from opencl_ray_tracer_tpu.kernels.soft_tiled import (
+        SUB_PIX_FWD,
+        _bin_soft,
+        _chunked,
+        _gather_soft_tables,
+        _loaders,
+        _soft_cfg,
+        _tile_soft_T,
+        _tile_xy,
+    )
+
+    c = cfg()
+    cam = legacy_ortho_camera()
+    packed = scene.pack()
+    tau_e = jnp.float32(c.tau_edge)
+    bins = _bin_soft(packed, tau_e, cam, height=H, width=W,
+                     k=c.cull_k, shadows=True, shadow_k=c.shadow_cull_k)
+    tables = tuple(map(_chunked, _gather_soft_tables(packed, cam, tau_e, bins)))
+    params = _camera_params(cam, packed.lights)
+    scfg = _soft_cfg(bins, packed, "phong", True, SUB_PIX_FWD)
+    scfg.pop("tp")
+    n_lights = scfg["n_lights"]
+    cnts = np.asarray(bins.counts)
+    tile = int(np.argmax(cnts[:, 0] + cnts[:, 1]))  # densest tile
+
+    pv = tuple(jnp.float32(v) for v in np.asarray(params))
+    x, y = _tile_xy(jnp.int32(tile), jnp.int32(0), bins.ntx, SUB_PIX_FWD)
+    loaders = _loaders(*(t[tile][None] for t in tables), scfg)
+
+    counts = (
+        jnp.int32(cnts[tile, 0]),
+        jnp.int32(cnts[tile, 1]),
+        tuple(
+            (jnp.int32(cnts[tile, 2 + 2 * li]), jnp.int32(cnts[tile, 3 + 2 * li]))
+            for li in range(n_lights)
+        ),
+    )
+    ragged = _tile_soft_T(
+        pv, jnp.float32(c.tau_depth), tau_e, *loaders, x, y,
+        counts=counts, tp=SUB_PIX_FWD, **scfg,
+    )
+    unrolled = _tile_soft_T(
+        pv, jnp.float32(c.tau_depth), tau_e, *loaders, x, y,
+        counts=None, tp=SUB_PIX_FWD, **scfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ragged), np.asarray(unrolled), atol=1e-2
+    )
