@@ -47,12 +47,19 @@ class MainState(State):
         config: Optional[RenderConfig] = None,
         png_dir: str = ".",
         scene_seed: int = 0,
+        display: bool = False,
     ):
         super().__init__(manager)
         self.inputs = inputs
         self.config = config or RenderConfig()
         self.png_dir = png_dir
         self.scene_seed = scene_seed
+        # Always-on presentation: re-blit the terminal framebuffer whenever
+        # a trace produced a new image — the per-frame Texture->window blit
+        # of the reference (MainState.cpp:241-254, main.cpp:55-81), with
+        # redraws coalesced to framebuffer changes so a TTY log stays sane.
+        self.display = display
+        self._fb_dirty = False
 
         self.backend_idx = len(BACKEND_CYCLE) - 1  # start on the accelerator
         self.current_scene = 1
@@ -133,6 +140,12 @@ class MainState(State):
             self.run_trace()
             self.start = False
 
+        if self.display and self._fb_dirty and self.framebuffer is not None:
+            from opencl_ray_tracer_tpu.utils import show
+
+            show(self.framebuffer)
+            self._fb_dirty = False
+
     # -- the trace (MainState.cpp:180-229 dispatch) --------------------------
     def run_trace(self) -> None:
         self.timer.start_counter()
@@ -140,6 +153,7 @@ class MainState(State):
         jax.block_until_ready(fb)
         self.time_taken_us = self.timer.stop_counter()
         self.framebuffer = fb
+        self._fb_dirty = True
         log_info(
             "scene %d on %s: %.0f us",
             self.current_scene,

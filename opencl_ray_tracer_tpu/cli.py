@@ -169,7 +169,8 @@ def cmd_app(args) -> int:
 
     cfg = _config_from(args)
     manager = StateManager()
-    state = MainState(manager, InputManager(), config=cfg, scene_seed=args.seed)
+    state = MainState(manager, InputManager(), config=cfg,
+                      scene_seed=args.seed, display=args.display)
     manager.add_state(state)
     if args.keys:
         for line in run_scripted(manager, list(args.keys.split(","))):
@@ -187,37 +188,46 @@ def cmd_bench(args) -> int:
 
 
 def cmd_fit(args) -> int:
-    import jax
-
-    from opencl_ray_tracer_tpu import RenderConfig, legacy_ortho_camera
+    """Inverse-rendering capstone on the GENERAL surface: render the chosen
+    library scene through the chosen camera/shading as the target, perturb
+    its sphere parameters, and recover them by gradient descent through the
+    soft differentiable renderer — with optional checkpoint/resume."""
+    from opencl_ray_tracer_tpu import create_scene
     from opencl_ray_tracer_tpu.diff import render_soft
-    from opencl_ray_tracer_tpu.models.inverse import SPHERE_PARAMS, fit_scene
-    from opencl_ray_tracer_tpu.scene import Scene
+    from opencl_ray_tracer_tpu.models.inverse import (
+        SPHERE_PARAMS,
+        fit_scene,
+        perturb_scene,
+    )
     from opencl_ray_tracer_tpu.utils import write_png
 
-    cfg = RenderConfig(
-        width=args.width, height=args.height, shading="lambert", soft=True,
-        framebuffer_dtype="float", tau_depth=1.0, tau_edge=0.5,
+    shading = args.shading if args.shading != "legacy" else "lambert"
+    cfg = _config_from(args).replace(
+        shading=shading, soft=True, framebuffer_dtype="float",
+        tau_depth=1.0, tau_edge=0.5, msaa=0,
+        **({"backend": args.backend} if args.backend else {}),
     )
-    cam = legacy_ortho_camera()
-    true_scene = Scene.build(
-        sphere_origin=[[args.width * 0.5, args.height * 0.5, -60.0]],
-        sphere_radius=[min(args.width, args.height) * 0.2],
-        sphere_colour=[[1.0, 0.3, 0.2, 255.0]],
-    )
+    cam = _camera_from(args, cfg)
+    true_scene = create_scene(args.scene, seed=args.seed)
     target = render_soft(true_scene, cam, cfg)
-    init = Scene.build(
-        sphere_origin=[[args.width * 0.6, args.height * 0.4, -60.0]],
-        sphere_radius=[min(args.width, args.height) * 0.15],
-        sphere_colour=[[0.6, 0.5, 0.5, 255.0]],
-    )
+    init = perturb_scene(true_scene, seed=args.seed + 1)
     fitted, losses = fit_scene(
         init, target, camera=cam, config=cfg, steps=args.steps,
-        trainable=SPHERE_PARAMS, log_every=max(args.steps // 10, 1),
+        learning_rate=args.lr, trainable=SPHERE_PARAMS,
+        log_every=max(args.steps // 10, 1),
+        checkpoint_dir=args.checkpoint_dir or None,
+        checkpoint_every=args.checkpoint_every,
     )
-    print("true origin:", np.asarray(true_scene.sphere_origin)[0])
-    print("fitted origin:", np.asarray(fitted.sphere_origin)[0])
-    print("loss: %.6f -> %.6f" % (losses[0], losses[-1]))
+    err0 = np.abs(
+        np.asarray(init.sphere_origin) - np.asarray(true_scene.sphere_origin)
+    ).max()
+    err1 = np.abs(
+        np.asarray(fitted.sphere_origin) - np.asarray(true_scene.sphere_origin)
+    ).max()
+    print(f"scene {args.scene} camera={args.camera} shading={shading}: "
+          f"max origin error {err0:.2f} -> {err1:.2f}")
+    if losses:
+        print("loss: %.6f -> %.6f" % (losses[0], losses[-1]))
     if args.out:
         write_png(args.out, render_soft(fitted, cam, cfg))
         print(f"wrote {args.out}")
@@ -249,6 +259,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("app", help="interactive benchmark shell")
     _add_common(p)
     p.add_argument("--keys", help="comma-separated scripted key events")
+    p.add_argument("--display", action="store_true",
+                   help="re-blit the terminal framebuffer after every "
+                        "trace (the per-frame window blit, headless)")
     p.set_defaults(fn=cmd_app)
 
     p = sub.add_parser("bench", help="rays/s benchmark")
@@ -258,10 +271,17 @@ def main(argv=None) -> int:
     )
     p.set_defaults(fn=cmd_bench)
 
-    p = sub.add_parser("fit", help="inverse-rendering demo")
-    p.add_argument("--width", type=int, default=128)
-    p.add_argument("--height", type=int, default=64)
+    p = sub.add_parser("fit", help="inverse-rendering capstone")
+    _add_common(p)
+    # the scene library lives in the reference's 640x480 world box
+    # (MainState.cpp:419-639): smaller windows would crop the scene out of
+    # frame and fit against an empty target
+    p.set_defaults(width=640, height=480)
     p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=0.5)
+    p.add_argument("--checkpoint-dir", default="",
+                   help="save/resume TrainState checkpoints here")
+    p.add_argument("--checkpoint-every", type=int, default=50)
     p.add_argument("--out", default="")
     p.set_defaults(fn=cmd_fit)
 

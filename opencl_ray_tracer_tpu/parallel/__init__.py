@@ -1,6 +1,7 @@
 from opencl_ray_tracer_tpu.parallel.mesh import (
     IMAGE_AXIS,
     make_mesh,
+    mesh_from_config,
     render_sharded,
     replicate,
     shard_rows,
@@ -16,6 +17,7 @@ from opencl_ray_tracer_tpu.parallel import distributed
 __all__ = [
     "IMAGE_AXIS",
     "make_mesh",
+    "mesh_from_config",
     "render_sharded",
     "replicate",
     "shard_rows",

@@ -45,6 +45,25 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = IMAGE_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def mesh_from_config(config: RenderConfig, axis: str = IMAGE_AXIS) -> Mesh:
+    """Mesh selected by config.mesh_shape: None = all visible devices,
+    (n,) (or any tuple with product n) = the first n devices. The workload
+    has one parallel axis (pixels), so multi-dim shapes collapse to their
+    product on the 1-D image mesh."""
+    if config.mesh_shape is None:
+        return make_mesh(axis=axis)
+    n = 1
+    for d in config.mesh_shape:
+        n *= int(d)
+    avail = len(jax.devices())
+    if n > avail:
+        raise ValueError(
+            f"config.mesh_shape {config.mesh_shape} needs {n} devices; "
+            f"only {avail} visible"
+        )
+    return make_mesh(n, axis=axis)
+
+
 def shift_camera_rows(camera: Camera, row0) -> Camera:
     """Camera for an image slice starting at absolute row `row0`: shift the
     affine bundle along its row derivative. Exact — the shard renders the
@@ -61,6 +80,28 @@ def _render_rows(scene, camera, h, w, config: RenderConfig):
     """Un-jitted row-block renderer used inside shard_map."""
     # jit-in-jit is inlined during tracing, so the cached jitted entry points
     # are safe to reuse inside shard_map.
+    if config.msaa > 1:
+        # Honor MSAA per shard: the same supersample-resolve-quantize order
+        # as the facade (models/renderer.render), through the exact
+        # shift_subpixel camera bundle — so render_sharded(msaa=k) equals
+        # the facade's msaa=k output row-for-row.
+        from opencl_ray_tracer_tpu.models.renderer import MSAA_OFFSETS
+
+        sample_cfg = config.replace(msaa=0, framebuffer_dtype="float")
+        acc = None
+        for dx, dy in MSAA_OFFSETS[config.msaa]:
+            img = _render_rows(
+                scene, camera.shift_subpixel(dx, dy), h, w, sample_cfg
+            )
+            acc = img if acc is None else acc + img
+        out = acc * (1.0 / config.msaa)
+        if config.framebuffer_dtype == "int":
+            out = jnp.round(out).astype(jnp.int32)
+        elif config.framebuffer_dtype == "packed":
+            from opencl_ray_tracer_tpu.ops.shading import pack_framebuffer_words
+
+            out = pack_framebuffer_words(jnp.round(out))
+        return out
     if config.soft:
         if config.backend == "pallas":
             from opencl_ray_tracer_tpu.kernels.soft import render_soft_pallas
@@ -93,7 +134,7 @@ def _render_rows(scene, camera, h, w, config: RenderConfig):
         )
     from opencl_ray_tracer_tpu.models.xla_backend import render_xla_jit
 
-    return render_xla_jit(
+    rgba = render_xla_jit(
         scene,
         camera,
         height=h,
@@ -102,6 +143,11 @@ def _render_rows(scene, camera, h, w, config: RenderConfig):
         shadows=config.shadows,
         as_int=config.framebuffer_dtype == "int",
     )
+    if config.framebuffer_dtype == "packed":
+        from opencl_ray_tracer_tpu.ops.shading import pack_framebuffer_words
+
+        return pack_framebuffer_words(rgba)
+    return rgba
 
 
 def render_sharded(
@@ -113,11 +159,15 @@ def render_sharded(
 ) -> jax.Array:
     """Render with image rows sharded across the mesh.
 
-    Returns the full (H, W, 4) framebuffer as a sharded global array (row
-    shards live on their devices; host gather only happens if the caller
-    pulls it to numpy — the display/PNG path).
+    Returns the full (H, W, 4) framebuffer — or (H, W) packed int32 words
+    when config.framebuffer_dtype == "packed" — as a sharded global array
+    (row shards live on their devices; host gather only happens if the
+    caller pulls it to numpy — the display/PNG path). config.msaa > 1 is
+    honored per shard (identical to the facade's supersampling). When no
+    `mesh` is passed, config.mesh_shape picks the device count
+    (mesh_from_config).
     """
-    mesh = mesh or make_mesh()
+    mesh = mesh or mesh_from_config(config, axis=axis)
     n = mesh.shape[axis]
     h, w = config.height, config.width
     if h % n:
@@ -125,7 +175,10 @@ def render_sharded(
     h_local = h // n
 
     spec_repl = P()
-    out_spec = P(axis, None, None)
+    out_spec = (
+        P(axis, None) if config.framebuffer_dtype == "packed"
+        else P(axis, None, None)
+    )
 
     @partial(jax.jit, static_argnums=())
     @partial(

@@ -131,3 +131,21 @@ class TestMainStateHarness:
         assert img.shape == (64, 128, 4)
         fb = np.clip(np.asarray(st.framebuffer), 0, 255).astype(np.uint8)
         np.testing.assert_array_equal(img, fb)
+
+
+def test_display_mode_blits_every_new_frame(capsys):
+    """--display re-blits the ANSI framebuffer whenever a trace produced a
+    new image (the per-frame window blit of MainState.cpp:241-254,
+    coalesced to framebuffer changes)."""
+    cfg = RenderConfig(width=128, height=64, shading="legacy", backend="xla")
+    sm = StateManager()
+    st = MainState(sm, InputManager(), config=cfg, display=True)
+    sm.add_state(st)
+    sm.update(0.016)  # startup trace -> blit
+    out1 = capsys.readouterr().out
+    assert "\x1b[" in out1
+    sm.update(0.016)  # no new trace -> no re-blit
+    assert "\x1b[" not in capsys.readouterr().out
+    sm.event_handler("r")
+    sm.update(0.016)  # re-run -> new framebuffer -> blit again
+    assert "\x1b[" in capsys.readouterr().out

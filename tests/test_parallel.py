@@ -192,3 +192,72 @@ def test_sharded_soft_tiled_tall_image(scene1, eight_devices):
     full = np.asarray(render_soft(scene1, cam, cfg))
     np.testing.assert_allclose(sharded, full, atol=1e-2)
     assert np.any(sharded[64:, :, :3] > 1.0), "lower shards render nothing"
+
+
+def test_mesh_from_config(eight_devices):
+    from opencl_ray_tracer_tpu.parallel import mesh_from_config
+
+    assert mesh_from_config(
+        RenderConfig(mesh_shape=(4,))
+    ).shape["image"] == 4
+    # None = all visible devices
+    assert mesh_from_config(
+        RenderConfig(mesh_shape=None)
+    ).shape["image"] == len(jax.devices())
+    # multi-dim shapes collapse to their product on the 1-D image mesh
+    assert mesh_from_config(
+        RenderConfig(mesh_shape=(2, 2))
+    ).shape["image"] == 4
+    import pytest
+
+    with pytest.raises(ValueError, match="devices"):
+        mesh_from_config(RenderConfig(mesh_shape=(1024,)))
+
+
+def test_render_sharded_uses_config_mesh_shape(scene1, eight_devices):
+    """No explicit mesh: config.mesh_shape picks the device count."""
+    cfg = RenderConfig(width=W, height=H, shading="legacy", backend="xla",
+                       mesh_shape=(4,))
+    cam = legacy_ortho_camera()
+    out = render_sharded(scene1, cam, cfg)
+    full = np.asarray(render_xla(scene1, cam, cfg))
+    np.testing.assert_array_equal(np.asarray(out), full)
+
+
+def test_render_sharded_honors_msaa(scene1, eight_devices):
+    """VERDICT r3 weak #5: sharded msaa=4 must equal the facade's msaa=4."""
+    from opencl_ray_tracer_tpu import render
+
+    cfg = RenderConfig(width=W, height=H, shading="phong", shadows=True,
+                       framebuffer_dtype="float", msaa=4, backend="pallas")
+    cam = legacy_ortho_camera()
+    mesh = make_mesh(8)
+    sharded = np.asarray(render_sharded(scene1, cam, cfg, mesh=mesh))
+    facade = np.asarray(render(scene1, cam, cfg))
+    np.testing.assert_allclose(sharded, facade, atol=1e-3)
+
+
+def test_render_sharded_packed(scene1, eight_devices):
+    """Packed framebuffer through shard_map: (H, W) int32 row shards."""
+    from opencl_ray_tracer_tpu.kernels.fwd_tiled import render_tiled
+
+    cfg = RenderConfig(width=W, height=H, shading="legacy", backend="pallas",
+                       framebuffer_dtype="packed")
+    cam = legacy_ortho_camera()
+    mesh = make_mesh(8)
+    sharded = np.asarray(render_sharded(scene1, cam, cfg, mesh=mesh))
+    assert sharded.shape == (H, W)
+    full = np.asarray(render_tiled(scene1, cam, cfg))
+    frac = (sharded == full).mean()
+    assert frac > 0.995, f"only {frac:.4%} identical"
+
+
+def test_train_step_rejects_msaa(eight_devices):
+    import pytest
+
+    cfg = RenderConfig(width=W, height=H, shading="lambert", soft=True,
+                       framebuffer_dtype="float", msaa=4)
+    with pytest.raises(ValueError, match="msaa"):
+        make_train_step(
+            legacy_ortho_camera(), cfg, optax.adam(1e-2), mesh=make_mesh(8)
+        )
