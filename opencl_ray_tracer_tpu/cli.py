@@ -99,6 +99,8 @@ def cmd_render(args) -> int:
     from opencl_ray_tracer_tpu.utils import PerformanceCounter, write_png
 
     cfg = _config_from(args)
+    if getattr(args, "packed", False):
+        cfg = cfg.replace(framebuffer_dtype="packed")
     scene = create_scene(args.scene, seed=args.seed)
     cam = _camera_from(args, cfg)
     timer = PerformanceCounter()
@@ -250,6 +252,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("render", help="render a scene to PNG")
     _add_common(p)
     p.add_argument("--out", default="render.png")
+    p.add_argument("--packed", action="store_true",
+                   help="packed int32 framebuffer (fastest Pallas path; "
+                        "PNG/display consume the words directly)")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("compare", help="CPU vs accelerated comparison")
