@@ -69,7 +69,9 @@ def _scan_total_us(render_fn, camera, n_frames: int, reps: int,
 
 def _slope_us(render_fn, camera, n_frames: int, reps: int,
               scalar_body: bool) -> float:
-    n1 = max(n_frames // 8, 4)
+    # baseline run: an eighth of the frames (>= 4 when possible, always
+    # at most half so the slope denominator stays meaningful)
+    n1 = max(min(n_frames // 2, max(n_frames // 8, 4)), 1)
     t1 = _scan_total_us(render_fn, camera, n1, reps, scalar_body)
     t2 = _scan_total_us(render_fn, camera, n_frames, reps, scalar_body)
     return max((t2 - t1) / (n_frames - n1), 0.0)

@@ -162,3 +162,17 @@ def test_packed_all_empty_frame():
     rgba = unpack_words(fb)
     assert (rgba[..., :3] == 0).all()
     assert (rgba[..., 3] == 255).all()
+
+
+def test_cli_render_packed(tmp_path):
+    from opencl_ray_tracer_tpu.cli import main
+
+    out = str(tmp_path / "p.png")
+    rc = main(["render", "--scene", "1", "--packed", "--width", "640",
+               "--height", "480", "--out", out])
+    assert rc == 0
+    from opencl_ray_tracer_tpu.utils.image import read_png
+
+    img = read_png(out)
+    assert img.shape == (480, 640, 4)
+    assert (img[..., 3] == 255).all()
