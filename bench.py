@@ -488,9 +488,10 @@ def main(argv=None) -> None:
 
     if not args.skip_context:
         try:
-            cfg_legacy = RenderConfig(width=wid, height=hgt, shading="legacy")
+            cfg_legacy = RenderConfig(width=wid, height=hgt, shading="legacy",
+                                      framebuffer_dtype="packed")
             u2, r2 = bench_config(scene_hl, cfg_legacy, tiled=True)
-            row("tiled legacy 1080p 10sph+1cube", u2, r2)
+            row("tiled legacy 1080p 10sph+1cube (packed fb)", u2, r2)
             # real pinhole camera through the projective tiled path
             from opencl_ray_tracer_tpu import pinhole_camera
 
@@ -501,7 +502,12 @@ def main(argv=None) -> None:
             )
             u2p, r2p = bench_config(scene_hl, cfg_legacy, cam=cam_ph, tiled=True)
             row("tiled legacy 1080p pinhole (projective culling)", u2p, r2p)
-            u2b, r2b = bench_config(scene_hl, cfg_legacy, tiled=False, n_frames=30)
+            # the brute kernel has no packed mode (it is the fallback, not
+            # the product path) — bench it on its own int framebuffer
+            u2b, r2b = bench_config(
+                scene_hl, cfg_legacy.replace(framebuffer_dtype="int"),
+                tiled=False, n_frames=30,
+            )
             row("brute legacy 1080p 10sph+1cube", u2b, r2b)
             scene_stress = random_scene(
                 100, 100, seed=0, bounds=(float(wid) - 10, float(hgt) - 10)
@@ -535,10 +541,12 @@ def main(argv=None) -> None:
                 100, 100, seed=2, bounds=(float(w4k) - 10, float(h4k) - 10)
             )
             cfg_4k = RenderConfig(
-                width=w4k, height=h4k, shading="legacy", cull_k=96
+                width=w4k, height=h4k, shading="legacy", cull_k=96,
+                framebuffer_dtype="packed",
             )
             u5, r5 = bench_config(scene_4k, cfg_4k, tiled=True, n_frames=30)
-            row("tiled legacy 4K 100sph+100cubes (1200 tris, k=96)", u5, r5)
+            row("tiled legacy 4K 100sph+100cubes (1200 tris, k=96, packed)",
+                u5, r5)
             # pinhole rows through the projective tiled paths (VERDICT r2 #8)
             u6, r6 = bench_config(scene_hl, cfg_hl, cam=cam_ph, tiled=True)
             row("tiled phong+shadows 1080p pinhole", u6, r6)

@@ -94,10 +94,11 @@ CH = 8                 # primitives per sublane chunk
 SUB_PIX_FWD = 2048     # lane width per inner iteration (fwd)
 # bwd strip width: the decomposed bwd keeps no cross-chunk residuals so
 # wider strips FIT. Swept on v5e via scripts/sweep_sub_pix_bwd.py (headline
-# 1080p phong+shadows fwd+bwd; measured table in docs/PERF.md) — 2048
-# wins: narrower strips pipeline better across grid steps, wider ones
-# amortize loop overhead but lose overlap. Overridable for re-sweeps via
-# OCTRT_SUB_PIX_BWD (must divide TILE_PIX).
+# 1080p phong+shadows fwd+bwd, slope harness, round 4): 1024: 3559 us,
+# 2048: 2609 us, 4096: 2700 us, 8192: 3465 us — 2048 wins; narrower
+# strips starve the pipeline with per-iteration overhead, wider ones lose
+# cross-grid-step overlap (full table + per-stage split in docs/PERF.md).
+# Overridable for re-sweeps via OCTRT_SUB_PIX_BWD (must divide TILE_PIX).
 SUB_PIX_BWD = int(_os.environ.get("OCTRT_SUB_PIX_BWD", "2048"))
 # Coverage sigmoids are exp-small this many tau_edge units outside a
 # primitive; 16 sigma => sigmoid ~ 1.1e-7, below visibility in a 0..255

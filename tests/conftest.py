@@ -6,7 +6,8 @@ interpret mode (selected inside the kernels when the platform is CPU).
 
 Opt-in REAL-TPU mode (VERDICT round-1 item 7): `RUN_TPU=1 python -m pytest
 tests/test_pallas_fwd.py tests/test_pallas_tiled.py tests/test_pallas_pinhole.py
-tests/test_pallas_soft.py tests/test_soft_tiled.py -q` leaves the session's
+tests/test_pallas_soft.py tests/test_soft_tiled.py tests/test_packed_fb.py
+-q` leaves the session's
 TPU backend in place so the Pallas kernels run COMPILED (Mosaic), making the
 Mosaic-vs-interpret parity check automated and repeatable — including the
 soft kernels' gradient parity (round-3 green run documented in
