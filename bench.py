@@ -642,7 +642,9 @@ def main(argv=None) -> None:
                     if sol_bwd is not None
                     else {}
                 ),
-                **{k: round(v, 6) for k, v in parity.items()},
+                # 4 significant figures, not fixed decimals: the grad
+                # relative error is ~1e-7 and must not round to 0.0
+                **{k: float(f"{v:.4g}") for k, v in parity.items()},
                 "train_step_us": None if us_ts != us_ts else round(us_ts),
                 **(
                     {"sharding_eff_8dev_fixed_work": round(scaling_eff, 3)}

@@ -63,8 +63,11 @@ def _scan_total_us(render_fn, camera, n_frames: int, reps: int,
         out = run(camera)
         jax.block_until_ready(out)
         samples.append((time.perf_counter_ns() - t0) / 1e3)
-    samples.sort()
-    return samples[len(samples) // 2]
+    # min, not median: dispatch/fence noise on this platform is strictly
+    # additive and heavy-tailed (~ms spikes on a ~30 ms call), so the
+    # minimum is the best estimator of the true total — and the slope of
+    # two minima is far more run-to-run stable than the slope of medians.
+    return min(samples)
 
 
 def _slope_us(render_fn, camera, n_frames: int, reps: int,
@@ -81,7 +84,7 @@ def device_frame_time_us(
     render_fn: Callable,
     camera,
     n_frames: int = 100,
-    reps: int = 3,
+    reps: int = 5,
 ) -> float:
     """Per-frame device time in microseconds (two-point slope, see module
     docstring). render_fn(camera) -> framebuffer array; camera is a Camera
@@ -94,7 +97,7 @@ def device_step_time_us(
     step_fn: Callable,
     camera,
     n_frames: int = 30,
-    reps: int = 3,
+    reps: int = 5,
 ) -> float:
     """Per-step device time in microseconds for SCALAR-returning steps
     (e.g. a loss whose grad was already consumed into it) — the shape for

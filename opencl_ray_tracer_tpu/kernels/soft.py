@@ -75,7 +75,11 @@ NEG_BIG = -1e30
 # The vjp-derived bwd keeps per-chunk linearization residuals live; the 16MB
 # default scoped-vmem budget is too tight for it (measured: 16.42M at
 # tile=256 on a 3-chunk scene). v5e VMEM is 128MB — let the kernels use it.
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+# 124MB (not 100): the brute bwd branch of the tiled path's overflow cond
+# must COMPILE even when never executed, and at reference-stress scale
+# (100 sph + 100 cubes = 1280 padded prims) its scoped high-water is
+# 118.25M measured.
+VMEM_LIMIT_BYTES = 124 * 1024 * 1024
 
 
 def _dot_hi(a, b):

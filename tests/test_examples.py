@@ -11,7 +11,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(script, *args, timeout=900):
+def _run(script, *args, timeout=1800):  # generous: 2 shared cores
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     flags = [
