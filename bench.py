@@ -40,7 +40,10 @@ from opencl_ray_tracer_tpu.bench_util import (
 from opencl_ray_tracer_tpu.kernels.fwd import render_pallas_packed
 from opencl_ray_tracer_tpu.kernels.fwd_tiled import bin_scene, render_tiled_packed
 from opencl_ray_tracer_tpu.scene import create_scene, random_scene
-from opencl_ray_tracer_tpu.utils.profiling import sol_fraction, sol_fraction_bwd
+from opencl_ray_tracer_tpu.utils.profiling import (
+    sol_fraction_bwd,
+    sol_fraction_ops,
+)
 
 # Per-pixel post-hit shading cost of the PHONG+SHADOWS tiled kernel, for
 # the VPU side of the SOL model (instruction count of fwd_tiled's shading
@@ -185,9 +188,15 @@ def bench_sharded_overhead(scene, config, cam=None, n_frames=50):
     cam = cam or legacy_ortho_camera()
     mesh = make_mesh(1)
     fn_sh = lambda c: render_sharded(scene, c, config, mesh=mesh)
-    us_sh = device_frame_time_us(fn_sh, cam, n_frames=n_frames)
     fn_un = lambda c: render_tiled(scene, c, config)
-    us_un = device_frame_time_us(fn_un, cam, n_frames=n_frames)
+    # best-of-3 each: the overhead is a ratio of two ~1.4 ms rows whose
+    # session noise is ~+-15%; minima keep the ratio meaningful
+    us_sh = min(
+        device_frame_time_us(fn_sh, cam, n_frames=n_frames) for _ in range(3)
+    )
+    us_un = min(
+        device_frame_time_us(fn_un, cam, n_frames=n_frames) for _ in range(3)
+    )
     return us_sh, us_un
 
 
@@ -458,14 +467,25 @@ def main(argv=None) -> None:
     chunks = _np.ceil(cnts / 8.0) * 8.0
     n_slots = float(chunks.sum(axis=1).mean())  # mean executed slots/tile
     shaded_frac = float((cnts[:, 0] + cnts[:, 1] > 0).mean())
-    sol = sol_fraction(
-        us, wid * hgt, n_prim_slots=n_slots,
-        bytes_per_pixel=4.0,  # packed int32 out; tables are <1 B/px
+    # per-slot-TYPE op costs (instruction counts of the kernel's tests):
+    # tri affine u/v/t 6 FMA + 3 cmp + nearest-hit update ~15; sphere
+    # quadratic ~16; shadow-frustum 4 planes x (3 FMA + add + cmp) + any-
+    # reduce ~22; shadow-sphere segment ~16. A uniform 14 undercharged the
+    # shadow slots the kernel necessarily executes.
+    ops_w = _np.array([15.0, 16.0] + [22.0, 16.0] * (
+        (cnts.shape[1] - 2) // 2
+    ))
+    ops_px = float((chunks * ops_w).sum(axis=1).mean())
+    sol = sol_fraction_ops(
+        us, wid * hgt,
+        intersection_ops_per_pixel=ops_px,
         shading_ops_per_pixel=PHONG_SHADING_OPS,
         shaded_fraction=shaded_frac,
+        bytes_per_pixel=4.0,  # packed int32 out; tables are <1 B/px
     )
     print(
-        f"# headline SOL (intersection {n_slots:.0f} slots/px + shading "
+        f"# headline SOL (intersection {n_slots:.0f} slots/px = "
+        f"{ops_px:.0f} ops/px type-weighted + shading "
         f"{PHONG_SHADING_OPS:.0f} ops/px on {100 * shaded_frac:.0f}% of "
         f"pixels, 4 B/px out): bound={sol['bound']} "
         f"ideal={sol['ideal_us']:.0f}us "

@@ -67,7 +67,33 @@ def sol_fraction(
         + shaded_fraction * shading_ops_per_pixel
     )
     vpu_t = vpu_ops / vpu_flops
-    hbm_t = n_pixels * bytes_per_pixel / hbm_bw
+    return _sol_result(t, vpu_t, n_pixels * bytes_per_pixel / hbm_bw)
+
+
+def sol_fraction_ops(
+    frame_us: float,
+    n_pixels: int,
+    intersection_ops_per_pixel: float,
+    shading_ops_per_pixel: float = 0.0,
+    shaded_fraction: float = 1.0,
+    bytes_per_pixel: float = 4.0,
+    vpu_flops: float = V5E_VPU_FLOPS,
+    hbm_bw: float = V5E_HBM_BW,
+) -> dict:
+    """sol_fraction with the intersection work given directly as ops/pixel —
+    for callers that weight slot TYPES by their true per-slot cost (a
+    shadow-frustum slot necessarily spends ~2x a primary affine slot)."""
+    t = frame_us / 1e6
+    vpu_ops = n_pixels * (
+        intersection_ops_per_pixel
+        + shaded_fraction * shading_ops_per_pixel
+    )
+    return _sol_result(
+        t, vpu_ops / vpu_flops, n_pixels * bytes_per_pixel / hbm_bw
+    )
+
+
+def _sol_result(t: float, vpu_t: float, hbm_t: float) -> dict:
     bound = "vpu" if vpu_t >= hbm_t else "hbm"
     ideal = max(vpu_t, hbm_t)
     return {
