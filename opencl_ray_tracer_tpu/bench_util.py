@@ -63,11 +63,14 @@ def _scan_total_us(render_fn, camera, n_frames: int, reps: int,
         out = run(camera)
         jax.block_until_ready(out)
         samples.append((time.perf_counter_ns() - t0) / 1e3)
-    # min, not median: dispatch/fence noise on this platform is strictly
-    # additive and heavy-tailed (~ms spikes on a ~30 ms call), so the
-    # minimum is the best estimator of the true total — and the slope of
-    # two minima is far more run-to-run stable than the slope of medians.
-    return min(samples)
+    # median, NOT min: dispatch noise is additive and heavy-tailed, which
+    # argues for minima — but this platform's fence OCCASIONALLY RETURNS
+    # EARLY (under-reporting a run), and a minimum selects exactly that
+    # outlier (observed: an early return drove a headline sample to an
+    # impossible 44 us, 1.6x above its own roofline). The median tolerates
+    # up to 2 contaminated reps in either direction out of 5.
+    samples.sort()
+    return samples[len(samples) // 2]
 
 
 def _slope_us(render_fn, camera, n_frames: int, reps: int,

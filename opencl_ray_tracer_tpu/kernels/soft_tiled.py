@@ -1185,13 +1185,20 @@ def _soft_tiled_fwd_pallas(
     sub = SUB_PIX_FWD
     n_sub = TILE_PIX // sub
 
-    def kernel(params_ref, taus_ref, counts_ref, tt, ta, st_, sa, tsh, ssh,
-               out_ref):
-        i = pl.program_id(0)
+    def kernel(inmap_ref, params_ref, taus_ref, counts_ref, tt, ta, st_, sa,
+               tsh, ssh, _prefill_ref, out_ref):
+        # TILE WORKLIST (same design as the hard packed kernel,
+        # fwd_tiled.py): the dynamic grid runs only the M nonempty tiles
+        # through the prefetched map; empty tiles are never sequenced —
+        # their output blocks keep the aliased prefill (the exact
+        # background the all-null tile math would produce: rgb=0, a=255,
+        # zero aux). ~0.5 us of pure per-step cost for each of the ~900
+        # skipped (tile, sub) steps on the sparse 1080p headline.
+        i = inmap_ref[pl.program_id(0)]
         sb = pl.program_id(1)
-        # Empty tiles (89% of the 1080p headline scene): no primary
-        # candidates means the full math provably produces rgb=0, a=255
-        # (all-null tables give w_bg == 1 exactly), so skip it at runtime.
+        # Only reachable when M == 0 (grid is clamped to >= 1 step): the
+        # visited block must still be written, and the constant IS the
+        # correct empty-tile output.
         empty = (counts_ref[i, 0] + counts_ref[i, 1]) == 0
 
         @pl.when(empty)
@@ -1225,20 +1232,38 @@ def _soft_tiled_fwd_pallas(
             out_ref[0] = res
 
     tile4 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1,) + shape[1:], lambda i, sb, im: (im[i], 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     # projective shadow tables are one shared block for every tile
     shared4 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        (1,) + shape[1:], lambda i, sb, im: (0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     sh_spec = shared4 if cfg["projective"] else tile4
     tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t = map(
         _chunked, (tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t)
     )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
-        grid=(n_tiles, n_sub),
+
+    empty_flag = (counts[:, 0] + counts[:, 1]) == 0
+    m = jnp.sum((~empty_flag).astype(jnp.int32))
+    inmap = jnp.argsort(empty_flag, stable=True).astype(jnp.int32)
+    # the background every empty tile's math would produce, as the aliased
+    # prefill for the blocks the worklist never visits
+    prefill = jnp.broadcast_to(
+        jnp.concatenate(
+            [
+                jnp.zeros((3, TILE_PIX), jnp.float32),
+                jnp.full((1, TILE_PIX), 255.0, jnp.float32),
+                jnp.zeros((4, TILE_PIX), jnp.float32),
+            ],
+            axis=0,
+        )[None],
+        (n_tiles, 8, TILE_PIX),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(jnp.maximum(m, 1), n_sub),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1249,16 +1274,27 @@ def _soft_tiled_fwd_pallas(
             tile4(sph_alb.shape),
             sh_spec(tsh_t.shape),
             sh_spec(ssh_t.shape),
+            pl.BlockSpec(memory_space=pl.ANY),  # prefill, aliased
         ],
         out_specs=pl.BlockSpec(
-            (1, 8, sub), lambda i, sb: (i, 0, sb), memory_space=pltpu.VMEM
+            (1, 8, sub), lambda i, sb, im: (im[i], 0, sb),
+            memory_space=pltpu.VMEM,
         ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
+        grid_spec=grid_spec,
+        # operands: inmap(scalar)=0, params=1, taus=2, counts=3, tables
+        # 4..9, prefill=10 -> aliased to output 0
+        input_output_aliases={10: 0},
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
-    )(params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t)
+    )(inmap, params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t,
+      ssh_t, prefill)
     return out
 
 
