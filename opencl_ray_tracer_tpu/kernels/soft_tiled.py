@@ -1337,14 +1337,21 @@ def _soft_tiled_bwd_pallas(
     k_sh_tri, k_sh_sph = cfg["k_sh_tri"], cfg["k_sh_sph"]
     aggregate = shading == "phong" or (shadows and shading == "lambert")
 
-    def kernel(params_ref, taus_ref, counts_ref, tt, ta, st_, sa, tsh, ssh,
-               g_ref, d_tt, d_ta, d_st, d_sa, d_tsh, d_ssh, d_par, d_tau):
-        i = pl.program_id(0)
+    def kernel(inmap_ref, params_ref, taus_ref, counts_ref, tt, ta, st_, sa,
+               tsh, ssh, g_ref, *rest):
+        # rest = 8 untouched ANY-space zero prefills (aliased to the
+        # outputs), then the 8 gradient out refs
+        (d_tt, d_ta, d_st, d_sa, d_tsh, d_ssh, d_par, d_tau) = rest[8:]
+        # TILE WORKLIST (same design as the fwd kernels): the dynamic grid
+        # sequences only the M nonempty tiles; unvisited tiles' gradient
+        # blocks keep the aliased ZERO prefill — which IS their exact
+        # gradient (the true vjp of the all-null tile math is identically
+        # zero: every path goes through sigmoid'(+-1e9) == 0, null
+        # albedos, or the (1 - w_bg) == 0 foreground factor).
+        i = inmap_ref[pl.program_id(0)]
         sb = pl.program_id(1)
-        # Empty tiles: the true vjp of the all-null tile math is EXACTLY
-        # zero for every input (all paths go through sigmoid'(+-1e9) == 0,
-        # null albedos, or the (1 - w_bg) == 0 foreground factor), so the
-        # zero-init alone is the correct gradient — skip entirely.
+        # Only reachable when M == 0 (clamped 1-step grid): the visited
+        # tile's blocks still zero-init below, which is correct.
         empty = (counts_ref[i, 0] + counts_ref[i, 1]) == 0
 
         @pl.when(sb == 0)
@@ -1357,8 +1364,13 @@ def _soft_tiled_bwd_pallas(
             d_tau[0] = jnp.zeros(d_tau.shape[1:], jnp.float32)
 
         # projective shadow-grad blocks are SHARED by all tiles (block 0):
-        # init once at the very first grid step, accumulate across all.
-        sh_init = ((i == 0) & (sb == 0)) if projective else (sb == 0)
+        # init once at the very first VISITED grid step, accumulate across
+        # all (keyed on the step index, not the tile id — with the
+        # worklist the first visited tile need not be tile 0).
+        sh_init = (
+            ((pl.program_id(0) == 0) & (sb == 0)) if projective
+            else (sb == 0)
+        )
 
         @pl.when(sh_init)
         def _():
@@ -1550,13 +1562,16 @@ def _soft_tiled_bwd_pallas(
             )
 
     tile4 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (1,) + shape[1:], lambda i, sb, im: (im[i], 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     shared4 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (0, 0, 0, 0), memory_space=pltpu.VMEM
+        (1,) + shape[1:], lambda i, sb, im: (0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     tile3 = lambda shape: pl.BlockSpec(
-        (1,) + shape[1:], lambda i, sb: (i, 0, 0), memory_space=pltpu.VMEM
+        (1,) + shape[1:], lambda i, sb, im: (im[i], 0, 0),
+        memory_space=pltpu.VMEM,
     )
     sh_spec = shared4 if projective else tile4
     f32 = jnp.float32
@@ -1573,10 +1588,13 @@ def _soft_tiled_bwd_pallas(
         tile4(shapes[3]), sh_spec(shapes[4]), sh_spec(shapes[5]),
         tile3(shapes[6]), tile3(shapes[7]),
     )
-    grads = pl.pallas_call(
-        kernel,
-        out_shape=tuple(jax.ShapeDtypeStruct(s, f32) for s in shapes),
-        grid=(n_tiles, n_sub),
+    empty_flag = (counts[:, 0] + counts[:, 1]) == 0
+    m = jnp.sum((~empty_flag).astype(jnp.int32))
+    inmap = jnp.argsort(empty_flag, stable=True).astype(jnp.int32)
+    prefills = tuple(jnp.zeros(s, f32) for s in shapes)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(jnp.maximum(m, 1), n_sub),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1588,10 +1606,19 @@ def _soft_tiled_bwd_pallas(
             sh_spec(tsh_t.shape),
             sh_spec(ssh_t.shape),
             pl.BlockSpec(
-                (1, 8, sub), lambda i, sb: (i, 0, sb), memory_space=pltpu.VMEM
+                (1, 8, sub), lambda i, sb, im: (im[i], 0, sb),
+                memory_space=pltpu.VMEM,
             ),
-        ],
+        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in shapes],
         out_specs=out_specs,
+    )
+    grads = pl.pallas_call(
+        kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct(s, f32) for s in shapes),
+        grid_spec=grid_spec,
+        # operands: inmap=0, params=1, taus=2, counts=3, tables 4..9,
+        # g_tiles=10, zero prefills 11..18 -> aliased to outputs 0..7
+        input_output_aliases={11 + q: q for q in range(len(shapes))},
         compiler_params=pltpu.CompilerParams(
             # sub-block accumulation into revisited per-tile blocks needs
             # in-order execution of the minor dimension.
@@ -1599,8 +1626,8 @@ def _soft_tiled_bwd_pallas(
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
-    )(params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t,
-      g_tiles)
+    )(inmap, params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t,
+      ssh_t, g_tiles, *prefills)
     # un-chunk the table grads back to the gather tables' 3-D layout
     return tuple(g.reshape(s) for g, s in zip(grads[:6], shapes3)) + grads[6:]
 
