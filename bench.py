@@ -61,10 +61,10 @@ W, H = 1920, 1080
 
 
 def bench_config(scene, config, cam=None, tiled=True, n_frames=100,
-                 best_of=1):
+                 best_of=1, spread=False, dynamic_bins=False):
     cam = cam or legacy_ortho_camera()
     packed = jax.device_put(scene.pack())
-    if tiled:
+    if tiled and not dynamic_bins:
         # Scene-static binning precomputed once (the production hot-loop
         # pattern: scene fixed, camera varies per frame).
         bins = bin_scene(
@@ -79,20 +79,41 @@ def bench_config(scene, config, cam=None, tiled=True, n_frames=100,
         fn = lambda c: render_tiled_packed(
             packed, c, config, interpret=False, bins=bins
         )
+    elif tiled:
+        # DYNAMIC FRAME: bins recomputed in-graph from the per-frame
+        # camera — the moving-camera / scene-edit cost, every launch pays
+        # binning + gather + kernel (the analogue of the reference's full
+        # per-launch scene re-upload, MainState.cpp:759-855).
+        def fn(c):
+            b = bin_scene(
+                packed, height=config.height, width=config.width,
+                k=config.cull_k, shadows=config.shadows,
+                shadow_k=config.shadow_cull_k,
+                camera=c if c.normalize else None,
+            )
+            return render_tiled_packed(
+                packed, c, config, interpret=False, bins=b
+            )
     else:
         fn = lambda c: render_pallas_packed(packed, c, config, interpret=False)
-    # best_of > 1: repeat the whole slope measurement and keep the best —
-    # session-level device-state variance was observed at +-20% across
-    # otherwise identical cache-hit runs; repeats are cheap (no compiles).
-    us = min(
+    # best_of > 1: repeat the whole slope measurement — session-level
+    # device-state variance was observed at +-40% across otherwise
+    # identical cache-hit runs; repeats are cheap (no compiles). The
+    # MEDIAN is the reported value; spread=True also returns [min, max]
+    # so the driver JSON records the session spread (VERDICT r4 #4).
+    samples = sorted(
         device_frame_time_us(fn, cam, n_frames=n_frames)
         for _ in range(best_of)
     )
+    us = samples[len(samples) // 2]
     rays_per_s = (config.width * config.height) / (us / 1e6)
+    if spread:
+        return us, rays_per_s, samples[0], samples[-1]
     return us, rays_per_s
 
 
-def bench_fwd_bwd_soft(scene, config, cam=None, n_frames=20):
+def bench_fwd_bwd_soft(scene, config, cam=None, n_frames=20, best_of=1,
+                       spread=False):
     """fwd+bwd step time: fused Pallas forward AND backward through the soft
     differentiable renderer; grads w.r.t. every scene parameter."""
     from opencl_ray_tracer_tpu.kernels.soft import render_soft_pallas
@@ -106,16 +127,23 @@ def bench_fwd_bwd_soft(scene, config, cam=None, n_frames=20):
             return jnp.mean(img[..., :3] ** 2)
 
         val, g = jax.value_and_grad(loss)(scene)
-        # consume a few grad leaves so DCE can't drop the backward
-        return (
-            val
-            + jnp.sum(g.sphere_origin)
-            + jnp.sum(g.sphere_radius)
-            + jnp.sum(g.lights.position)
+        # consume EVERY grad leaf so XLA cannot DCE any part of the
+        # backward — including the per-leaf scatter-add / accumulation
+        # chains of leaves a partial sum would leave dead (VERDICT r4 #3:
+        # consuming only 3 leaves left cube-vertex/colour grad chains
+        # prunable, making the fwd+bwd rows measure a partial backward).
+        return val + sum(
+            jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(g)
         )
 
-    us = device_step_time_us(step, cam, n_frames=n_frames)
+    samples = sorted(
+        device_step_time_us(step, cam, n_frames=n_frames)
+        for _ in range(best_of)
+    )
+    us = samples[len(samples) // 2]
     rays_per_s = (config.width * config.height) / (us / 1e6)
+    if spread:
+        return us, rays_per_s, samples[0], samples[-1]
     return us, rays_per_s
 
 
@@ -384,6 +412,45 @@ def bench_parity(cam=None) -> dict:
     # error over every scene-parameter grad leaf, relative to the largest
     # oracle-grad magnitude
     out["parity_soft_grad_rel_err"] = gerr / (gscale + 1e-20)
+
+    # PIXEL-gradient parity — the BASELINE criterion AS WRITTEN (VERDICT
+    # r4 #5): max-abs error of exact jacobian rows d(pixel)/d(params),
+    # pixel values in NORMALIZED 0..1 units (raw image / 255; params in
+    # their native world/colour units — see docs/PERF.md). One vjp per
+    # probe pixel gives the exact row; probes are the 8 strongest-edge
+    # pixels (where soft silhouette gradients live) + 8 spread across the
+    # image. Unlike a summed loss functional, single rows carry no
+    # accumulation rounding, so the 1e-4 tolerance is meaningful.
+    import numpy as _np2
+
+    h_, w_ = cfg_s.height, cfg_s.width
+    img01_p, vjp_p = jax.vjp(
+        lambda s: render_soft_pallas(s, cam, cfg_s)[..., :3] / 255.0, scene
+    )
+    _, vjp_j = jax.vjp(
+        lambda s: render_soft(s, cam, cfg_s)[..., :3] / 255.0, scene
+    )
+    img_np = _np2.asarray(img01_p)
+    edge = _np2.abs(_np2.diff(img_np, axis=0)).sum(-1)[:, : w_ - 1] + (
+        _np2.abs(_np2.diff(img_np, axis=1)).sum(-1)[: h_ - 1, :]
+    )
+    flat = _np2.argsort(edge.ravel())[-8:]
+    probes = [(int(q // (w_ - 1)), int(q % (w_ - 1))) for q in flat]
+    rng = _np2.random.default_rng(7)
+    probes += [
+        (int(rng.integers(h_)), int(rng.integers(w_))) for _ in range(8)
+    ]
+    perr = 0.0
+    for yy, xx in probes:
+        ct = jnp.zeros((h_, w_, 3), jnp.float32).at[yy, xx, 0].set(1.0)
+        (row_p,) = vjp_p(ct)
+        (row_j,) = vjp_j(ct)
+        for lp, lj in zip(
+            jax.tree_util.tree_leaves(row_p), jax.tree_util.tree_leaves(row_j)
+        ):
+            if lp.size:
+                perr = max(perr, float(jnp.max(jnp.abs(lp - lj))))
+    out["parity_pixel_grad_max_err"] = perr
     return out
 
 
@@ -448,8 +515,13 @@ def main(argv=None) -> None:
         width=wid, height=hgt, shading="phong", shadows=True,
         framebuffer_dtype="packed",
     )
-    us, rays = bench_config(scene_hl, cfg_hl, tiled=True, best_of=3)
+    us, rays, us_min, us_max = bench_config(
+        scene_hl, cfg_hl, tiled=True, best_of=3, spread=True
+    )
     row("headline tiled phong+shadows 1080p 10sph+1cube (packed fb)", us, rays)
+    print(f"# headline spread over 3 slope measurements: "
+          f"[{us_min:.0f}, {us_max:.0f}] us (median {us:.0f})",
+          file=sys.stderr)
     # SOL roofline context: count the slots the kernel ACTUALLY executes —
     # per-tile candidate counts rounded up to 8-chunks (ragged skipping),
     # primary + per-light shadow, averaged over pixels — plus the per-pixel
@@ -493,15 +565,45 @@ def main(argv=None) -> None:
         file=sys.stderr,
     )
 
+    # DYNAMIC FRAME (VERDICT r4 #2): bins recomputed IN-GRAPH from the
+    # per-frame camera — a moving pinhole camera, so XLA cannot hoist the
+    # binning out of the frame loop. This is the honest cost of a
+    # flythrough / interactive frame, the analogue of the reference paying
+    # its full scene upload every launch (MainState.cpp:759-855).
+    from opencl_ray_tracer_tpu import pinhole_camera
+
+    cam_ph = pinhole_camera(
+        position=(wid / 2.0, hgt / 2.0, 900.0),
+        look_at=(wid / 2.0, hgt / 2.0, -85.0),
+        fov_degrees=60.0, width=wid, height=hgt,
+    )
+    us_dyn = float("nan")
+    try:
+        us_dyn, rays_dyn = bench_config(
+            scene_hl, cfg_hl, cam=cam_ph, tiled=True, dynamic_bins=True,
+            n_frames=50, best_of=3,
+        )
+        row("DYNAMIC frame phong+shadows 1080p pinhole (in-graph rebin)",
+            us_dyn, rays_dyn)
+    except Exception as e:
+        print(f"# dynamic-frame bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # fwd+bwd: BASELINE config 3 — same scene, phong + shadows, backward pass
     cfg_soft = RenderConfig(
         width=wid, height=hgt, shading="phong", shadows=True, soft=True,
         framebuffer_dtype="float", tau_depth=1.0, tau_edge=0.5,
     )
     sol_bwd = None
+    us_g_min = us_g_max = float("nan")
     try:
-        us_g, rays_g = bench_fwd_bwd_soft(scene_hl, cfg_soft)
+        us_g, rays_g, us_g_min, us_g_max = bench_fwd_bwd_soft(
+            scene_hl, cfg_soft, best_of=3, spread=True
+        )
         row("fwd+bwd soft phong+shadows 1080p 10sph+1cube", us_g, rays_g)
+        print(f"# fwd+bwd spread over 3 slope measurements: "
+              f"[{us_g_min:.0f}, {us_g_max:.0f}] us (median {us_g:.0f})",
+              file=sys.stderr)
         sol_bwd = bench_bwd_sol(us_g, scene_hl, cfg_soft, None)
         print(
             f"# fwd+bwd SOL (recompute-vjp model): bound={sol_bwd['bound']} "
@@ -520,13 +622,6 @@ def main(argv=None) -> None:
             u2, r2 = bench_config(scene_hl, cfg_legacy, tiled=True)
             row("tiled legacy 1080p 10sph+1cube (packed fb)", u2, r2)
             # real pinhole camera through the projective tiled path
-            from opencl_ray_tracer_tpu import pinhole_camera
-
-            cam_ph = pinhole_camera(
-                position=(wid / 2.0, hgt / 2.0, 900.0),
-                look_at=(wid / 2.0, hgt / 2.0, -85.0),
-                fov_degrees=60.0, width=wid, height=hgt,
-            )
             u2p, r2p = bench_config(scene_hl, cfg_legacy, cam=cam_ph, tiled=True)
             row("tiled legacy 1080p pinhole (projective culling)", u2p, r2p)
             # the brute kernel has no packed mode (it is the fallback, not
@@ -591,7 +686,8 @@ def main(argv=None) -> None:
             "# parity (scene 1, on-chip): legacy identical "
             f"{parity['parity_legacy_frac_identical']:.4f}, phong close "
             f"{parity['parity_phong_frac_close']:.4f}, soft-grad max err "
-            f"{parity['parity_soft_grad_max_err']:.2e}",
+            f"{parity['parity_soft_grad_max_err']:.2e}, pixel-grad max err "
+            f"{parity['parity_pixel_grad_max_err']:.2e}",
             file=sys.stderr,
         )
     except Exception as e:
@@ -626,6 +722,7 @@ def main(argv=None) -> None:
 
     # weak scaling of the sharded train step on the virtual CPU mesh
     scaling_eff = None
+    scaling_eff_lo = scaling_eff_hi = None
     if not args.skip_scaling:
         try:
             sc = bench_weak_scaling()
@@ -641,9 +738,16 @@ def main(argv=None) -> None:
                         f"efficiency={eff:.2f}",
                         file=sys.stderr,
                     )
-                scaling_eff = (
-                    sc[1]["us_per_step"] / sc[max(sc)]["us_per_step"]
-                )
+                nmax = max(sc)
+                scaling_eff = sc[1]["us_per_step"] / sc[nmax]["us_per_step"]
+                # ERROR BARS (VERDICT r4 #8): the ratio's extreme range
+                # from the per-n sample spreads — this row runs 8 virtual
+                # devices on this host's few cores, so it validates the
+                # SHARDING STRUCTURE (program compiles, runs, converges at
+                # every n), not ICI bandwidth; swings inside these bars
+                # are host scheduling noise, not regressions.
+                scaling_eff_lo = sc[1]["us_min"] / sc[nmax]["us_max"]
+                scaling_eff_hi = sc[1]["us_max"] / sc[nmax]["us_min"]
         except Exception as e:
             print(f"# weak-scaling bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
@@ -655,10 +759,25 @@ def main(argv=None) -> None:
                 "value": rays,
                 "unit": "rays/s",
                 "vs_baseline": rays / TARGET_RAYS_PER_S,
+                # spread over 3 independent slope measurements (VERDICT r4
+                # #4): value is the MEDIAN; min/max carry session variance
+                "value_min": (wid * hgt) / (us_max / 1e6),
+                "value_max": (wid * hgt) / (us_min / 1e6),
                 "sol_fraction": round(sol["achieved_fraction"], 4),
                 "sol_bound": sol["bound"],
+                **(
+                    {"dynamic_frame_us": round(us_dyn, 1)}
+                    if us_dyn == us_dyn else {}
+                ),
                 "fwd_bwd_rays_per_s": rays_g,
                 "fwd_bwd_vs_target": rays_g / TARGET_FWDBWD_RAYS_PER_S,
+                **(
+                    {
+                        "fwd_bwd_us_min": round(us_g_min, 1),
+                        "fwd_bwd_us_max": round(us_g_max, 1),
+                    }
+                    if us_g_min == us_g_min else {}
+                ),
                 **(
                     {
                         "sol_fraction_bwd": round(
@@ -674,7 +793,17 @@ def main(argv=None) -> None:
                 **{k: float(f"{v:.4g}") for k, v in parity.items()},
                 "train_step_us": None if us_ts != us_ts else round(us_ts),
                 **(
-                    {"sharding_eff_8dev_fixed_work": round(scaling_eff, 3)}
+                    {
+                        "sharding_eff_8dev_fixed_work": round(scaling_eff, 3),
+                        # error bars + semantics: a CPU-mesh structure
+                        # check (host-core timesharing noise dominates the
+                        # point value; see PERF.md scaling section)
+                        "sharding_eff_range": [
+                            round(scaling_eff_lo, 3),
+                            round(scaling_eff_hi, 3),
+                        ],
+                        "sharding_eff_semantics": "cpu-mesh-structure-check",
+                    }
                     if scaling_eff is not None
                     else {}
                 ),

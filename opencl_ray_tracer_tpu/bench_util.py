@@ -78,9 +78,18 @@ def _slope_us(render_fn, camera, n_frames: int, reps: int,
     # baseline run: an eighth of the frames (>= 4 when possible, always
     # at most half so the slope denominator stays meaningful)
     n1 = max(min(n_frames // 2, max(n_frames // 8, 4)), 1)
+    if n_frames <= n1:  # degenerate request: no slope to take
+        return max(
+            _scan_total_us(render_fn, camera, n_frames, reps, scalar_body)
+            / max(n_frames, 1),
+            1e-3,
+        )
     t1 = _scan_total_us(render_fn, camera, n1, reps, scalar_body)
     t2 = _scan_total_us(render_fn, camera, n_frames, reps, scalar_body)
-    return max((t2 - t1) / (n_frames - n1), 0.0)
+    # clamp to a small positive epsilon, not 0.0: callers divide by this
+    # (rays/s), and a noisy session where t(N2) <= t(N1) must degrade to a
+    # huge-but-finite rate instead of a ZeroDivisionError.
+    return max((t2 - t1) / (n_frames - n1), 1e-3)
 
 
 def device_frame_time_us(

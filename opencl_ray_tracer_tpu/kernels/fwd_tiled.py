@@ -710,13 +710,14 @@ def _build_tiled_kernel(
         *refs,
         # unpacked:  (params, counts, tri_coef, tri_attr, sph_coef,
         #             sph_attr, tri_sh, sph_sh, out)
-        # packed:    (order, inmap, params, counts, ..., out) — order/inmap
-        #            are the scalar-prefetched TILE WORKLIST (see the
-        #            packed wrapper): step i processes tile order[i]
-        #            (nonempty tiles first), reading tables of tile
-        #            inmap[i] (== order[i] while i < n_nonempty, then
-        #            pinned to the last nonempty tile so the trailing
-        #            empty steps re-visit a resident block — zero DMA).
+        # packed:    (inmap, params, counts, tri_coef, tri_attr, sph_coef,
+        #             sph_attr, tri_sh, sph_sh, prefill, out) — inmap is
+        #            the scalar-prefetched TILE WORKLIST (see the packed
+        #            wrapper): step i processes tile inmap[i] (nonempty
+        #            tiles first; steps past the worklist length pin to
+        #            the last nonempty tile so trailing empty steps
+        #            re-visit a resident block — zero DMA), and prefill is
+        #            the output-aliased empty-tile constant buffer.
     ):
         if out_packed:
             (inmap_ref, params_ref, counts_ref, tri_coef_ref,

@@ -100,6 +100,12 @@ SUB_PIX_FWD = 2048     # lane width per inner iteration (fwd)
 # cross-grid-step overlap (full table + per-stage split in docs/PERF.md).
 # Overridable for re-sweeps via OCTRT_SUB_PIX_BWD (must divide TILE_PIX).
 SUB_PIX_BWD = int(_os.environ.get("OCTRT_SUB_PIX_BWD", "2048"))
+if SUB_PIX_BWD <= 0 or TILE_PIX % SUB_PIX_BWD or SUB_PIX_BWD % 128:
+    raise ValueError(
+        f"OCTRT_SUB_PIX_BWD={SUB_PIX_BWD} invalid: the backward strip "
+        f"width must be a positive multiple of 128 that divides "
+        f"TILE_PIX={TILE_PIX} (e.g. 1024, 2048, 4096, 8192)."
+    )
 # Coverage sigmoids are exp-small this many tau_edge units outside a
 # primitive; 16 sigma => sigmoid ~ 1.1e-7, below visibility in a 0..255
 # image and below the 1e-4 gradient tolerance.
@@ -701,10 +707,9 @@ def _bacc_of(cov):
 
 def _ragged_fori(n_chunks: int, cnt, body, carry):
     """Run body(ci, carry) over exactly the chunks that hold real
-    candidates: ci = 0 .. ceil(cnt/CH)-1 (cnt None -> all n_chunks,
-    statically unrolled). EXACT: _bin_prims compacts candidates to the
-    front and null slots contribute identically zero to the image and every
-    gradient, so skipping == computing.
+    candidates: ci = 0 .. ceil(cnt/CH)-1. EXACT: _bin_prims compacts
+    candidates to the front and null slots contribute identically zero to
+    the image and every gradient, so skipping == computing.
 
     Measured motivation (v5e, 100-prim fwd+bwd): the previous per-chunk
     `lax.cond` skips lowered to predicated selects under Mosaic — BOTH
@@ -713,10 +718,6 @@ def _ragged_fori(n_chunks: int, cnt, body, carry):
     trip-count fori_loop is a real loop: work scales with the tile's actual
     candidate count."""
     if n_chunks == 0:
-        return carry
-    if cnt is None:
-        for ci in range(n_chunks):
-            carry = body(ci, carry)
         return carry
     n = jnp.minimum((cnt + (CH - 1)) // CH, n_chunks)
     return jax.lax.fori_loop(0, n, body, carry)
@@ -1053,13 +1054,13 @@ def _tile_soft_T(
     shadows: bool,
     tp: int,
     projective: bool = False,
-    counts=None,
+    counts,
 ):
     """One SUB_PIX strip of the tiled soft renderer as a pure array function
     — the orchestrator over the shared tile math above.
 
-    counts (optional): (cnt_tri, cnt_sph, ((sh_tri, sh_sph) per light))
-    int32 scalars — only the chunks holding real candidates execute
+    counts: (cnt_tri, cnt_sph, ((sh_tri, sh_sph) per light)) int32
+    scalars — only the chunks holding real candidates execute
     (dynamic-trip fori_loops; exact, see _ragged_fori).
 
     x, y: (1, tp) pixel coords. load_*: chunk loaders over the tables of
@@ -1075,12 +1076,8 @@ def _tile_soft_T(
     ctx = _ctx_make(
         pv, tau_d, tau_e, x, y, projective=projective, n_lights=n_lights
     )
-    if counts is None:
-        cnts = (None, None)
-        sh_counts = tuple((None, None) for _ in range(n_lights))
-    else:
-        cnt_tri, cnt_sph, sh_counts = counts
-        cnts = (cnt_tri, cnt_sph)
+    cnt_tri, cnt_sph, sh_counts = counts
+    cnts = (cnt_tri, cnt_sph)
 
     aggregate = shading == "phong" or (shadows and shading == "lambert")
     if not aggregate:

@@ -1,7 +1,11 @@
 from opencl_ray_tracer_tpu.parallel.mesh import (
+    HOST_AXIS,
     IMAGE_AXIS,
     make_mesh,
+    make_mesh_2d,
     mesh_from_config,
+    mesh_n_shards,
+    mesh_row_axes,
     render_sharded,
     replicate,
     shard_rows,
@@ -15,9 +19,13 @@ from opencl_ray_tracer_tpu.parallel.train import (
 from opencl_ray_tracer_tpu.parallel import distributed
 
 __all__ = [
+    "HOST_AXIS",
     "IMAGE_AXIS",
     "make_mesh",
+    "make_mesh_2d",
     "mesh_from_config",
+    "mesh_n_shards",
+    "mesh_row_axes",
     "render_sharded",
     "replicate",
     "shard_rows",

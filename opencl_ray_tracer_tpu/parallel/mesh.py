@@ -35,6 +35,7 @@ from opencl_ray_tracer_tpu.camera import Camera
 from opencl_ray_tracer_tpu.config import RenderConfig
 
 IMAGE_AXIS = "image"
+HOST_AXIS = "host"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = IMAGE_AXIS) -> Mesh:
@@ -45,21 +46,65 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = IMAGE_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2d(
+    hosts: int, chips: int,
+    host_axis: str = HOST_AXIS, axis: str = IMAGE_AXIS,
+) -> Mesh:
+    """2-D (hosts, chips) pod mesh. Image rows shard over BOTH axes (the
+    workload still has one parallel dimension — pixels); the axes exist so
+    the backward's scene-grad all-reduce can be STRUCTURED two-level:
+    psum over `axis` first (chips within a host — ICI), then over
+    `host_axis` (across hosts — DCN), moving one already-reduced O(scene)
+    payload per host over the slow links (SURVEY.md §5). jax.devices() is
+    contiguous per host under jax.distributed, so the reshape puts each
+    mesh row on one host's chips."""
+    devs = jax.devices()
+    n = hosts * chips
+    if n > len(devs):
+        raise ValueError(
+            f"mesh ({hosts}, {chips}) needs {n} devices; only "
+            f"{len(devs)} visible"
+        )
+    return Mesh(
+        np.array(devs[:n]).reshape(hosts, chips), (host_axis, axis)
+    )
+
+
+def mesh_row_axes(mesh: Mesh, axis: str = IMAGE_AXIS):
+    """The mesh axes image rows shard over: (host, image) on a 2-D pod
+    mesh, (image,) on the flat mesh."""
+    return tuple(a for a in (HOST_AXIS, axis) if a in mesh.axis_names)
+
+
+def mesh_n_shards(mesh: Mesh, axis: str = IMAGE_AXIS) -> int:
+    n = 1
+    for a in mesh_row_axes(mesh, axis):
+        n *= mesh.shape[a]
+    return n
+
+
 def mesh_from_config(config: RenderConfig, axis: str = IMAGE_AXIS) -> Mesh:
-    """Mesh selected by config.mesh_shape: None = all visible devices,
-    (n,) (or any tuple with product n) = the first n devices. The workload
-    has one parallel axis (pixels), so multi-dim shapes collapse to their
-    product on the 1-D image mesh."""
+    """Mesh selected by config.mesh_shape: None = all visible devices on
+    the flat image mesh, (n,) = the first n devices, (hosts, chips) = the
+    2-D pod mesh with a two-level grad reduction (make_mesh_2d)."""
     if config.mesh_shape is None:
         return make_mesh(axis=axis)
+    dims = [int(d) for d in config.mesh_shape]
     n = 1
-    for d in config.mesh_shape:
-        n *= int(d)
+    for d in dims:
+        n *= d
     avail = len(jax.devices())
     if n > avail:
         raise ValueError(
             f"config.mesh_shape {config.mesh_shape} needs {n} devices; "
             f"only {avail} visible"
+        )
+    if len(dims) == 2:
+        return make_mesh_2d(dims[0], dims[1], axis=axis)
+    if len(dims) > 2:
+        raise ValueError(
+            f"config.mesh_shape {config.mesh_shape}: at most 2 dims "
+            f"(hosts, chips) — the workload has one parallel axis (pixels)"
         )
     return make_mesh(n, axis=axis)
 
@@ -168,7 +213,8 @@ def render_sharded(
     (mesh_from_config).
     """
     mesh = mesh or mesh_from_config(config, axis=axis)
-    n = mesh.shape[axis]
+    row_axes = mesh_row_axes(mesh, axis)
+    n = mesh_n_shards(mesh, axis)
     h, w = config.height, config.width
     if h % n:
         raise ValueError(f"height {h} not divisible by mesh size {n}")
@@ -176,8 +222,8 @@ def render_sharded(
 
     spec_repl = P()
     out_spec = (
-        P(axis, None) if config.framebuffer_dtype == "packed"
-        else P(axis, None, None)
+        P(row_axes, None) if config.framebuffer_dtype == "packed"
+        else P(row_axes, None, None)
     )
 
     @partial(jax.jit, static_argnums=())
@@ -189,7 +235,7 @@ def render_sharded(
         check_vma=False,
     )
     def run(scene_, camera_):
-        idx = jax.lax.axis_index(axis)
+        idx = jax.lax.axis_index(row_axes)
         cam_local = shift_camera_rows(camera_, idx * h_local)
         return _render_rows(scene_, cam_local, h_local, w, config)
 
@@ -203,6 +249,7 @@ def replicate(tree, mesh: Mesh):
 
 
 def shard_rows(array, mesh: Mesh, axis: str = IMAGE_AXIS):
-    """Shard a (H, ...) array by rows over the mesh (e.g. a target image)."""
-    spec = P(axis, *([None] * (array.ndim - 1)))
+    """Shard a (H, ...) array by rows over the mesh (e.g. a target image).
+    On a 2-D pod mesh, rows shard over (host, image) jointly."""
+    spec = P(mesh_row_axes(mesh, axis), *([None] * (array.ndim - 1)))
     return jax.device_put(array, NamedSharding(mesh, spec))

@@ -32,6 +32,8 @@ from opencl_ray_tracer_tpu.config import RenderConfig
 from opencl_ray_tracer_tpu.parallel.mesh import (
     IMAGE_AXIS,
     mesh_from_config,
+    mesh_n_shards,
+    mesh_row_axes,
     shift_camera_rows,
 )
 from opencl_ray_tracer_tpu.diff.soft import render_soft_jit
@@ -67,7 +69,8 @@ def make_train_step(
             "at msaa=0 or average sample offsets in a custom loss"
         )
     mesh = mesh or mesh_from_config(config, axis=axis)
-    n = mesh.shape[axis]
+    row_axes = mesh_row_axes(mesh, axis)
+    n = mesh_n_shards(mesh, axis)
     h, w = config.height, config.width
     if h % n:
         raise ValueError(f"height {h} not divisible by mesh size {n}")
@@ -102,18 +105,31 @@ def make_train_step(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis, None, None)),
+        in_specs=(P(), P(), P(), P(row_axes, None, None)),
         out_specs=(P(), P()),
         check_vma=False,
     )
     def sharded_grad(scene, camera_, opt_dummy, target_local):
-        idx = jax.lax.axis_index(axis)
+        idx = jax.lax.axis_index(row_axes)
         loss, grads = jax.value_and_grad(local_loss)(
             scene, camera_, target_local, idx * h_local
         )
+
         # THE collective: complete the scene-param grads across row shards.
-        loss = jax.lax.psum(loss, axis)
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis), grads)
+        # On a 2-D (host, image) pod mesh this is a TWO-LEVEL reduction —
+        # psum over the chips of each host first (ICI), then one psum of
+        # the already-reduced O(scene) payload per host across hosts
+        # (DCN) — so the slow inter-host links carry n_hosts messages, not
+        # n_hosts * n_chips (SURVEY.md §5). Reducing over the axes one at
+        # a time IS that structure: XLA lowers each psum on its own mesh
+        # axis (inner = intra-host ring, outer = cross-host).
+        def allreduce(v):
+            for a in reversed(row_axes):  # inner (chips/ICI) first
+                v = jax.lax.psum(v, a)
+            return v
+
+        loss = allreduce(loss)
+        grads = jax.tree_util.tree_map(allreduce, grads)
         return loss, grads
 
     @jax.jit

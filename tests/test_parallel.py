@@ -204,14 +204,63 @@ def test_mesh_from_config(eight_devices):
     assert mesh_from_config(
         RenderConfig(mesh_shape=None)
     ).shape["image"] == len(jax.devices())
-    # multi-dim shapes collapse to their product on the 1-D image mesh
-    assert mesh_from_config(
-        RenderConfig(mesh_shape=(2, 2))
-    ).shape["image"] == 4
+    # 2-tuples build the 2-D (hosts, chips) pod mesh
+    m2 = mesh_from_config(RenderConfig(mesh_shape=(2, 4)))
+    assert m2.shape["host"] == 2 and m2.shape["image"] == 4
+    from opencl_ray_tracer_tpu.parallel import mesh_n_shards, mesh_row_axes
+
+    assert mesh_row_axes(m2) == ("host", "image")
+    assert mesh_n_shards(m2) == 8
     import pytest
 
     with pytest.raises(ValueError, match="devices"):
         mesh_from_config(RenderConfig(mesh_shape=(1024,)))
+    with pytest.raises(ValueError, match="2 dims"):
+        mesh_from_config(RenderConfig(mesh_shape=(2, 2, 2)))
+
+
+def test_train_step_2d_mesh_matches_flat(eight_devices):
+    """VERDICT r4 #6: the 2-D (hosts, chips) pod mesh with the two-level
+    psum (ICI within a host, then DCN across hosts) must produce the same
+    loss and the same post-step scene as the flat 8-device mesh — and as
+    the single-device grads."""
+    from opencl_ray_tracer_tpu.parallel import make_mesh_2d
+    from opencl_ray_tracer_tpu.scene import Scene
+
+    scene = Scene.build(
+        sphere_origin=[[64.0, 32.0, -40.0]],
+        sphere_radius=[18.0],
+        sphere_colour=[[1.0, 0.2, 0.2, 255.0]],
+    )
+    cfg = RenderConfig(
+        width=W, height=H, shading="lambert", soft=True,
+        framebuffer_dtype="float", tau_depth=1.0, tau_edge=0.25,
+    )
+    cam = legacy_ortho_camera()
+    target = jnp.zeros((H, W, 4), jnp.float32)
+
+    def run(mesh):
+        optimizer = optax.adam(0.1)
+        step = make_train_step(cam, cfg, optimizer, mesh=mesh)
+        state = init_train_state(replicate(scene, mesh), optimizer)
+        state, loss = step(state, shard_rows(target, mesh))
+        return float(loss), np.asarray(state.scene.sphere_origin)
+
+    loss_flat, org_flat = run(make_mesh(8))
+    loss_2d, org_2d = run(make_mesh_2d(2, 4))
+    np.testing.assert_allclose(loss_2d, loss_flat, rtol=1e-6)
+    np.testing.assert_allclose(org_2d, org_flat, rtol=1e-5, atol=1e-6)
+
+
+def test_render_sharded_2d_mesh(scene1, eight_devices):
+    """Row-sharded render over the 2-D pod mesh == unsharded."""
+    from opencl_ray_tracer_tpu.parallel import make_mesh_2d
+
+    cfg = RenderConfig(width=W, height=H, shading="legacy", backend="xla")
+    cam = legacy_ortho_camera()
+    full = np.asarray(render_xla(scene1, cam, cfg))
+    sharded = render_sharded(scene1, cam, cfg, mesh=make_mesh_2d(2, 4))
+    np.testing.assert_array_equal(np.asarray(sharded), full)
 
 
 def test_render_sharded_uses_config_mesh_shape(scene1, eight_devices):
