@@ -349,12 +349,22 @@ def bench_bwd_sol(us_step, scene, config, cam) -> dict:
         + n_lights * (bins.k_sh_tri + bins.k_sh_sph) * 16
     )
     gt_bytes = rows * 4.0 * 2.0 / TILE_PIX
+    # stored-finals residual block (round 5): the fwd writes R f32 rows/px
+    # of streaming finals that the bwd reads back instead of recomputing
+    # the whole streaming pass — charge both directions.
+    from opencl_ray_tracer_tpu.kernels.soft_tiled import _finals_rows
+
+    aggregate = config.shading == "phong" or (
+        config.shadows and config.shading == "lambert"
+    )
+    r_fin = _finals_rows(aggregate, n_lights if config.shadows else 0)
+    fin_bytes = 2.0 * 4.0 * r_fin
     return sol_fraction_bwd(
         us_step, config.width * config.height, n_prim_slots=n_slots,
         grad_table_bytes_per_pixel=gt_bytes,
         # fwd writes 8 f32 rows/px, the retiled upstream g costs a write +
-        # a read of the same: 32 + 32 + 32 B/px
-        out_bytes_per_pixel=96.0,
+        # a read of the same (32 + 32 + 32 B/px), plus the finals block
+        out_bytes_per_pixel=96.0 + fin_bytes,
     )
 
 

@@ -1040,6 +1040,34 @@ def _shade_nonagg(f5, *, shading: str, tp: int):
     )
 
 
+def _finals_rows(aggregate: bool, n_shadow_lights: int) -> int:
+    """Sublane-padded row count of the stored-finals residual block:
+    aggregate mode stores [m, z, st, s8 x8, snx, sny, snz, bacc,
+    logvis x L]; per-primitive-shading modes store
+    [m, z, sr, sg, sb, bacc]."""
+    if not aggregate:
+        return 8
+    return _round_up(15 + n_shadow_lights, 8)
+
+
+# The stored-finals backward pays one (R, TILE_PIX) residual block of HBM
+# traffic per tile to skip the backward's streaming+occluder recompute
+# pass. Measured on v5e (1080p phong+shadows, all-grad-leaf step, same
+# session A/B): at the 200-prim stress scale (static slots ~432) it wins
+# 33.6 -> 28.8 ms; at the 11-prim headline (slots 64) the recompute pass
+# is nearly free and the residual I/O costs more than it saves (2.74 ->
+# 3.09 ms). The static worst-case slot count picks the regime.
+_FINALS_MIN_SLOTS = 128
+
+
+def _use_stored_finals(bins: "SoftBins", n_lights: int,
+                       shadows: bool) -> bool:
+    slots = bins.k_tri + bins.k_sph
+    if shadows:
+        slots += n_lights * (bins.k_sh_tri + bins.k_sh_sph)
+    return slots >= _FINALS_MIN_SLOTS
+
+
 def _tile_soft_T(
     pv, tau_d, tau_e,
     load_tri, load_sph, load_tri_sh, load_sph_sh,
@@ -1055,6 +1083,7 @@ def _tile_soft_T(
     tp: int,
     projective: bool = False,
     counts,
+    want_finals: bool = False,
 ):
     """One SUB_PIX strip of the tiled soft renderer as a pure array function
     — the orchestrator over the shared tile math above.
@@ -1062,6 +1091,11 @@ def _tile_soft_T(
     counts: (cnt_tri, cnt_sph, ((sh_tri, sh_sph) per light)) int32
     scalars — only the chunks holding real candidates execute
     (dynamic-trip fori_loops; exact, see _ragged_fori).
+
+    want_finals: also return the streaming finals + per-light
+    log-visibility as (R, tp) rows (R = _finals_rows) — the residuals the
+    stored-finals backward reads instead of recomputing the whole
+    streaming pass (fwd row layout documented there).
 
     x, y: (1, tp) pixel coords. load_*: chunk loaders over the tables of
     _gather_soft_tables (see the kernels below). Returns (8, tp) rows
@@ -1086,7 +1120,13 @@ def _tile_soft_T(
             k_tri=k_tri, k_sph=k_sph, tp=tp, projective=projective,
             shading=shading, n_lights=n_lights,
         )
-        return _shade_nonagg(finals[1:], shading=shading, tp=tp)
+        out = _shade_nonagg(finals[1:], shading=shading, tp=tp)
+        if not want_finals:
+            return out
+        fin = jnp.concatenate(
+            list(finals) + [jnp.zeros((2, tp), jnp.float32)], axis=0
+        )  # [m, z, sr, sg, sb, bacc, 0, 0]
+        return out, fin
 
     finals = _aggregate_stream(
         load_tri, load_sph, ctx, cnts,
@@ -1104,9 +1144,21 @@ def _tile_soft_T(
             )
             for li in range(n_lights)
         )
-    return _shade_agg(
+    out = _shade_agg(
         geom, logvis, ctx, shading=shading, n_lights=n_lights, tp=tp
     )
+    if not want_finals:
+        return out
+    # [m, z, st, s8 x8, snx, sny, snz, bacc, logvis x L, pad to R]
+    m, z, st, s8, snx, sny, snz, bacc = finals
+    rows = [m, z, st, s8, snx, sny, snz, bacc]
+    if shadows:
+        rows += list(logvis)
+    r = _finals_rows(True, n_lights if shadows else 0)
+    have = 15 + (n_lights if shadows else 0)
+    if r > have:
+        rows.append(jnp.zeros((r - have, tp), jnp.float32))
+    return out, jnp.concatenate(rows, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -1175,15 +1227,28 @@ def _untile(out, height, width, nty, ntx):
 
 def _soft_tiled_fwd_pallas(
     params, taus, tables, counts, *, width, nty, ntx, cfg, interpret,
+    save_finals: bool = False,
 ):
+    """save_finals: also emit the (n_tiles, R, TILE_PIX) streaming-finals
+    residual block the stored-finals backward consumes — only the
+    custom_vjp fwd asks for it; the plain inference forward stays lean."""
     tri_t, tri_alb, sph_t, sph_alb, tsh_t, ssh_t = tables
     n_params = params.shape[0]
     n_tiles = nty * ntx
     sub = SUB_PIX_FWD
     n_sub = TILE_PIX // sub
+    r_fin = _finals_rows(
+        cfg["shading"] == "phong"
+        or (cfg["shadows"] and cfg["shading"] == "lambert"),
+        cfg["n_lights"] if cfg["shadows"] else 0,
+    )
 
     def kernel(inmap_ref, params_ref, taus_ref, counts_ref, tt, ta, st_, sa,
-               tsh, ssh, _prefill_ref, out_ref):
+               tsh, ssh, _prefill_ref, *rest):
+        if save_finals:
+            _res_prefill_ref, out_ref, res_ref = rest
+        else:
+            (out_ref,) = rest
         # TILE WORKLIST (same design as the hard packed kernel,
         # fwd_tiled.py): the dynamic grid runs only the M nonempty tiles
         # through the prefetched map; empty tiles are never sequenced —
@@ -1208,6 +1273,17 @@ def _soft_tiled_fwd_pallas(
                 ],
                 axis=0,
             )
+            if save_finals:
+                # the empty-tile finals: m = NEG_BIG, everything else 0
+                # (z = 0, bacc = 0 => w_bg = 1) — the exact streaming
+                # state of an all-null tile
+                res_ref[0] = jnp.concatenate(
+                    [
+                        jnp.full((1, sub), NEG_BIG, jnp.float32),
+                        jnp.zeros((r_fin - 1, sub), jnp.float32),
+                    ],
+                    axis=0,
+                )
 
         @pl.when(jnp.logical_not(empty))
         def _():
@@ -1224,9 +1300,12 @@ def _soft_tiled_fwd_pallas(
             res = _tile_soft_T(
                 pv, taus_ref[0], taus_ref[1],
                 *_loaders(tt, ta, st_, sa, tsh, ssh, cfg),
-                x, y, counts=cts, **cfg,
+                x, y, counts=cts, want_finals=save_finals, **cfg,
             )
-            out_ref[0] = res
+            if save_finals:
+                out_ref[0], res_ref[0] = res
+            else:
+                out_ref[0] = res
 
     tile4 = lambda shape: pl.BlockSpec(
         (1,) + shape[1:], lambda i, sb, im: (im[i], 0, 0, 0),
@@ -1258,53 +1337,94 @@ def _soft_tiled_fwd_pallas(
         )[None],
         (n_tiles, 8, TILE_PIX),
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        tile4(tri_t.shape),
+        tile4(tri_alb.shape),
+        tile4(sph_t.shape),
+        tile4(sph_alb.shape),
+        sh_spec(tsh_t.shape),
+        sh_spec(ssh_t.shape),
+        pl.BlockSpec(memory_space=pl.ANY),  # prefill, aliased
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 8, sub), lambda i, sb, im: (im[i], 0, sb),
+        memory_space=pltpu.VMEM,
+    )
+    operands = [inmap, params, taus, counts, tri_t, tri_alb, sph_t, sph_alb,
+                tsh_t, ssh_t, prefill]
+    if save_finals:
+        # finals residual output (+ its aliased zero/NEG_BIG prefill for
+        # never-visited tiles — the empty-tile streaming state)
+        res_prefill = jnp.broadcast_to(
+            jnp.concatenate(
+                [
+                    jnp.full((1, TILE_PIX), NEG_BIG, jnp.float32),
+                    jnp.zeros((r_fin - 1, TILE_PIX), jnp.float32),
+                ],
+                axis=0,
+            )[None],
+            (n_tiles, r_fin, TILE_PIX),
+        )
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(res_prefill)
+        out_shape = (
+            jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, r_fin, TILE_PIX), jnp.float32),
+        )
+        out_specs = (
+            out_spec,
+            pl.BlockSpec(
+                (1, r_fin, sub), lambda i, sb, im: (im[i], 0, sb),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        # operands: inmap(scalar)=0, params=1, taus=2, counts=3, tables
+        # 4..9, prefill=10 -> output 0, res_prefill=11 -> output 1
+        aliases = {10: 0, 11: 1}
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32)
+        out_specs = out_spec
+        aliases = {10: 0}
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(jnp.maximum(m, 1), n_sub),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            tile4(tri_t.shape),
-            tile4(tri_alb.shape),
-            tile4(sph_t.shape),
-            tile4(sph_alb.shape),
-            sh_spec(tsh_t.shape),
-            sh_spec(ssh_t.shape),
-            pl.BlockSpec(memory_space=pl.ANY),  # prefill, aliased
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 8, sub), lambda i, sb, im: (im[i], 0, sb),
-            memory_space=pltpu.VMEM,
-        ),
+        in_specs=in_specs,
+        out_specs=out_specs,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, TILE_PIX), jnp.float32),
+        out_shape=out_shape,
         grid_spec=grid_spec,
-        # operands: inmap(scalar)=0, params=1, taus=2, counts=3, tables
-        # 4..9, prefill=10 -> aliased to output 0
-        input_output_aliases={10: 0},
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
         interpret=interpret,
-    )(inmap, params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t,
-      ssh_t, prefill)
+    )(*operands)
     return out
 
 
 def _soft_tiled_bwd_pallas(
-    params, taus, tables, counts, g_tiles, *, width, nty, ntx, cfg, interpret,
+    params, taus, tables, counts, g_tiles, res_tiles,
+    *, width, nty, ntx, cfg, interpret,
 ):
     """Decomposed, RAGGED backward kernel (hand-structured, the
     flash-attention-bwd shape): per (tile, sub-block) grid step,
 
       1. rebuild ctx via jax.vjp of _ctx_make (routes grads to params/taus),
-      2. recompute the streaming forward to the finals (ragged loops
-         included) and hold the softmin max m CONSTANT — outputs are
-         invariant to m, so its gradient path is identically zero,
+      2. obtain the streaming finals (m, z, st, s8, sn, bacc) and
+         per-light log-visibility: from the residual block the forward
+         kernel stored (res_tiles, the STORED-FINALS regime — skips the
+         backward's whole streaming+occluder recompute pass for one
+         (R, TILE_PIX) f32 block per tile of HBM traffic), or by
+         recomputing the streaming pass in-kernel when res_tiles is None
+         (cheaper at small candidate counts — see _use_stored_finals for
+         the measured regime split). m is a CONSTANT either way — outputs
+         are invariant to it, so its gradient path is identically zero,
       3. jax.vjp the shade and geom stages once (chunk-free),
       4. jax.vjp each candidate / occluder CHUNK inside a dynamic-trip
          fori_loop over exactly the chunks the tile's counts cover (real
@@ -1333,9 +1453,15 @@ def _soft_tiled_bwd_pallas(
     k_tri, k_sph = cfg["k_tri"], cfg["k_sph"]
     k_sh_tri, k_sh_sph = cfg["k_sh_tri"], cfg["k_sh_sph"]
     aggregate = shading == "phong" or (shadows and shading == "lambert")
+    use_finals = res_tiles is not None
+    r_fin = _finals_rows(aggregate, n_lights if shadows else 0)
 
     def kernel(inmap_ref, params_ref, taus_ref, counts_ref, tt, ta, st_, sa,
                tsh, ssh, g_ref, *rest):
+        if use_finals:
+            res_ref, *rest = rest
+        else:
+            res_ref = None
         # rest = 8 untouched ANY-space zero prefills (aliased to the
         # outputs), then the 8 gradient out refs
         (d_tt, d_ta, d_st, d_sa, d_tsh, d_ssh, d_par, d_tau) = rest[8:]
@@ -1402,28 +1528,44 @@ def _soft_tiled_bwd_pallas(
             )
             gctx_zero = jax.tree_util.tree_map(jnp.zeros_like, ctx)
 
+            # finals: stored (exact values the fwd kernel computed — no
+            # streaming/occluder recompute pass) or recomputed in-kernel
+            fin = res_ref[0] if use_finals else None
             if aggregate:
-                finals = _aggregate_stream(
-                    load_tri, load_sph, ctx, (cnt_tri, cnt_sph),
-                    k_tri=k_tri, k_sph=k_sph, tp=sub, projective=projective,
-                )
-                m = jax.lax.stop_gradient(finals[0])
-                f7 = jax.lax.stop_gradient(finals[1:])
+                if use_finals:
+                    m = fin[0:1]
+                    f7 = (
+                        fin[1:2], fin[2:3], fin[3:11],
+                        fin[11:12], fin[12:13], fin[13:14], fin[14:15],
+                    )  # (z, st, s8, snx, sny, snz, bacc)
+                else:
+                    finals = _aggregate_stream(
+                        load_tri, load_sph, ctx, (cnt_tri, cnt_sph),
+                        k_tri=k_tri, k_sph=k_sph, tp=sub,
+                        projective=projective,
+                    )
+                    m = jax.lax.stop_gradient(finals[0])
+                    f7 = jax.lax.stop_gradient(finals[1:])
                 geom, geom_vjp = jax.vjp(
                     lambda f, c: _geom_agg(f, c, n_lights=n_lights), f7, ctx
                 )
                 logvis = None
                 if shadows:
-                    logvis = tuple(
-                        _occ_loop(
-                            load_tri_sh, load_sph_sh,
-                            geom["so"][li], geom["sd"][li], geom["dist"][li],
-                            ctx, sh_counts[li],
-                            li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
-                            tp=sub,
+                    if use_finals:
+                        logvis = tuple(
+                            fin[15 + li : 16 + li] for li in range(n_lights)
                         )
-                        for li in range(n_lights)
-                    )
+                    else:
+                        logvis = tuple(
+                            _occ_loop(
+                                load_tri_sh, load_sph_sh,
+                                geom["so"][li], geom["sd"][li],
+                                geom["dist"][li], ctx, sh_counts[li],
+                                li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
+                                tp=sub,
+                            )
+                            for li in range(n_lights)
+                        )
                 _, shade_vjp = jax.vjp(
                     lambda gm, lv, c: _shade_agg(
                         gm, lv, c, shading=shading, n_lights=n_lights, tp=sub
@@ -1512,13 +1654,20 @@ def _soft_tiled_bwd_pallas(
                         tb, al, c, m, kind, projective
                     )
             else:
-                finals = _accumulate_nonagg(
-                    load_tri, load_sph, ctx, (cnt_tri, cnt_sph),
-                    k_tri=k_tri, k_sph=k_sph, tp=sub, projective=projective,
-                    shading=shading, n_lights=n_lights,
-                )
-                m = jax.lax.stop_gradient(finals[0])
-                f5 = jax.lax.stop_gradient(finals[1:])
+                if use_finals:
+                    m = fin[0:1]
+                    f5 = (
+                        fin[1:2], fin[2:3], fin[3:4], fin[4:5], fin[5:6]
+                    )  # (z, sr, sg, sb, bacc)
+                else:
+                    finals = _accumulate_nonagg(
+                        load_tri, load_sph, ctx, (cnt_tri, cnt_sph),
+                        k_tri=k_tri, k_sph=k_sph, tp=sub,
+                        projective=projective, shading=shading,
+                        n_lights=n_lights,
+                    )
+                    m = jax.lax.stop_gradient(finals[0])
+                    f5 = jax.lax.stop_gradient(finals[1:])
                 _, shade_vjp = jax.vjp(
                     lambda f: _shade_nonagg(f, shading=shading, tp=sub), f5
                 )
@@ -1606,16 +1755,24 @@ def _soft_tiled_bwd_pallas(
                 (1, 8, sub), lambda i, sb, im: (im[i], 0, sb),
                 memory_space=pltpu.VMEM,
             ),
-        ] + [pl.BlockSpec(memory_space=pl.ANY) for _ in shapes],
+        ] + (
+            [pl.BlockSpec(
+                (1, r_fin, sub), lambda i, sb, im: (im[i], 0, sb),
+                memory_space=pltpu.VMEM,
+            )] if use_finals else []
+        ) + [pl.BlockSpec(memory_space=pl.ANY) for _ in shapes],
         out_specs=out_specs,
     )
+    res_ops = (res_tiles,) if use_finals else ()
+    n_pre = 11 + len(res_ops)
     grads = pl.pallas_call(
         kernel,
         out_shape=tuple(jax.ShapeDtypeStruct(s, f32) for s in shapes),
         grid_spec=grid_spec,
         # operands: inmap=0, params=1, taus=2, counts=3, tables 4..9,
-        # g_tiles=10, zero prefills 11..18 -> aliased to outputs 0..7
-        input_output_aliases={11 + q: q for q in range(len(shapes))},
+        # g_tiles=10, [res_tiles=11,] zero prefills -> aliased to
+        # outputs 0..7
+        input_output_aliases={n_pre + q: q for q in range(len(shapes))},
         compiler_params=pltpu.CompilerParams(
             # sub-block accumulation into revisited per-tile blocks needs
             # in-order execution of the minor dimension.
@@ -1624,7 +1781,7 @@ def _soft_tiled_bwd_pallas(
         ),
         interpret=interpret,
     )(inmap, params, taus, counts, tri_t, tri_alb, sph_t, sph_alb, tsh_t,
-      ssh_t, g_tiles, *prefills)
+      ssh_t, g_tiles, *res_ops, *prefills)
     # un-chunk the table grads back to the gather tables' 3-D layout
     return tuple(g.reshape(s) for g, s in zip(grads[:6], shapes3)) + grads[6:]
 
@@ -1645,11 +1802,13 @@ def _soft_cfg(bins: SoftBins, packed, shading, shadows, tp):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "shading", "shadows", "interpret"),
+    static_argnames=(
+        "height", "width", "shading", "shadows", "interpret", "save_finals",
+    ),
 )
 def _soft_tiled_fwd_impl(
     packed, camera, tau_d, tau_e, bins,
-    *, height, width, shading, shadows, interpret,
+    *, height, width, shading, shadows, interpret, save_finals=False,
 ):
     tables = _gather_soft_tables(packed, camera, tau_e, bins)
     params = _camera_params(camera, packed.lights)
@@ -1658,7 +1817,11 @@ def _soft_tiled_fwd_impl(
     out = _soft_tiled_fwd_pallas(
         params, taus, tables, bins.counts,
         width=width, nty=bins.nty, ntx=bins.ntx, cfg=cfg, interpret=interpret,
+        save_finals=save_finals,
     )
+    if save_finals:
+        out, fin = out
+        return _untile(out, height, width, bins.nty, bins.ntx), fin
     return _untile(out, height, width, bins.nty, bins.ntx)
 
 
@@ -1689,28 +1852,42 @@ def _make_bins(packed, camera, tau_e, height, width, shading, shadows, k,
 def _soft_tiled_fwd_core(
     packed, camera, tau_d, tau_e,
     height, width, shading, shadows, interpret, k, shadow_k,
+    save_finals=False,
 ):
     from opencl_ray_tracer_tpu.kernels.soft import _soft_pallas_fwd
 
     bins = _make_bins(
         packed, camera, tau_e, height, width, shading, shadows, k, shadow_k
     )
+    aggregate = shading == "phong" or (shadows and shading == "lambert")
+    n_lights = packed.lights.position.shape[0]
+    # save_finals=True means "if the scale warrants it" — the static slot
+    # count picks the stored-finals vs recompute backward regime.
+    if save_finals:
+        save_finals = _use_stored_finals(bins, n_lights, shadows)
+    r_fin = _finals_rows(aggregate, n_lights if shadows else 0)
+    n_tiles = bins.nty * bins.ntx
 
     def tiled(args):
         p, c, td, te = args
         return _soft_tiled_fwd_impl(
             p, c, td, te, bins,
             height=height, width=width, shading=shading, shadows=shadows,
-            interpret=interpret,
+            interpret=interpret, save_finals=save_finals,
         )
 
     def brute(args):
         p, c, td, te = args
-        return _soft_pallas_fwd(
+        out = _soft_pallas_fwd(
             p, c, td, te,
             height=height, width=width, shading=shading, shadows=shadows,
             normalize_dir=camera.normalize, interpret=interpret,
         )
+        if save_finals:
+            # shape-matched dummy: the overflow bwd re-runs the brute
+            # path's own vjp and never reads these
+            return out, jnp.zeros((n_tiles, r_fin, TILE_PIX), jnp.float32)
+        return out
 
     out = jax.lax.cond(
         bins.overflow, brute, tiled, (packed, camera, tau_d, tau_e)
@@ -1725,8 +1902,13 @@ def _soft_tiled_vjp_fwd(
     out, bins = _soft_tiled_fwd_core(
         packed, camera, tau_d, tau_e,
         height, width, shading, shadows, interpret, k, shadow_k,
+        save_finals=True,  # honored only when the scale warrants it
     )
-    return out, (packed, camera, tau_d, tau_e, bins)
+    if isinstance(out, tuple):
+        out, fin = out
+    else:
+        fin = None
+    return out, (packed, camera, tau_d, tau_e, bins, fin)
 
 
 def _soft_tiled_vjp_bwd(
@@ -1736,10 +1918,10 @@ def _soft_tiled_vjp_bwd(
         _soft_bwd as _brute_soft_bwd,
     )
 
-    packed, camera, tau_d, tau_e, bins = res
+    packed, camera, tau_d, tau_e, bins, fin = res
 
     def tiled_bwd(args):
-        packed_, camera_, td, te, g_ = args
+        packed_, camera_, td, te, g_, fin_ = args
 
         def prep(p_, c_, te_):
             tabs = _gather_soft_tables(p_, c_, te_, bins)
@@ -1751,7 +1933,7 @@ def _soft_tiled_vjp_bwd(
         g_tiles = _tile_g_layout(g_, height, width, bins.nty, bins.ntx)
         cfg = _soft_cfg(bins, packed_, shading, shadows, SUB_PIX_BWD)
         grads = _soft_tiled_bwd_pallas(
-            params, taus, tables, bins.counts, g_tiles,
+            params, taus, tables, bins.counts, g_tiles, fin_,
             width=width, nty=bins.nty, ntx=bins.ntx, cfg=cfg,
             interpret=interpret,
         )
@@ -1762,7 +1944,7 @@ def _soft_tiled_vjp_bwd(
         return d_packed, d_camera, d_tau[0], d_tau[1] + d_te_prep
 
     def brute_bwd(args):
-        packed_, camera_, td, te, g_ = args
+        packed_, camera_, td, te, g_, _fin = args
         return _brute_soft_bwd(
             height, width, shading, shadows, camera.normalize, interpret,
             (packed_, camera_, td, te), g_,
@@ -1770,7 +1952,7 @@ def _soft_tiled_vjp_bwd(
 
     return jax.lax.cond(
         bins.overflow, brute_bwd, tiled_bwd,
-        (packed, camera, tau_d, tau_e, g),
+        (packed, camera, tau_d, tau_e, g, fin),
     )
 
 

@@ -158,6 +158,53 @@ def test_projective_tiled_soft_matches_brute(scene, shading, shadows):
     assert err.max() < 1.0, err.max()
 
 
+def test_stored_finals_bwd_grads_match_recompute(scene, monkeypatch):
+    """Round 5: the STORED-FINALS backward regime (fwd kernel emits the
+    streaming finals; bwd reads them instead of recomputing the streaming
+    pass) must produce the same gradients as the recompute regime — the
+    two differ only in where the finals come from. Forced on via the
+    regime threshold; the small-scene default exercises recompute."""
+    import opencl_ray_tracer_tpu.kernels.soft_tiled as stl
+
+    cam = legacy_ortho_camera()
+    c = cfg("phong", True)
+    packed = scene.pack()
+
+    def loss(p):
+        img = render_soft_tiled(p, cam, c, interpret=True)
+        return jnp.mean(img[..., :3] ** 2)
+
+    g_rec = jax.grad(loss)(packed)  # default: slots < threshold
+    monkeypatch.setattr(stl, "_FINALS_MIN_SLOTS", 0)
+    g_fin = jax.grad(loss)(packed)  # forced stored-finals
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_fin), jax.tree_util.tree_leaves(g_rec)
+    ):
+        if a.size:
+            scale = np.abs(np.asarray(b)).max() + 1e-12
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale, atol=1e-5
+            )
+
+
+def test_stored_finals_fwd_unchanged(scene, monkeypatch):
+    """The save_finals forward variant must not perturb the image."""
+    import opencl_ray_tracer_tpu.kernels.soft_tiled as stl
+
+    cam = legacy_ortho_camera()
+    c = cfg("phong", True)
+    base = np.asarray(render_soft_tiled(scene, cam, c, interpret=True))
+    monkeypatch.setattr(stl, "_FINALS_MIN_SLOTS", 0)
+
+    def loss(p):
+        img = render_soft_tiled(p, cam, c, interpret=True)
+        return img
+
+    # value_and_grad routes through the save_finals fwd; compare primals
+    img2, _ = jax.vjp(loss, scene.pack())
+    np.testing.assert_allclose(np.asarray(img2), base, atol=1e-4)
+
+
 def test_projective_tiled_soft_grads_match_brute(scene):
     cam = pinhole_cam()
     c = cfg("phong", True)
@@ -221,13 +268,14 @@ def test_tiled_soft_saturation_pin(scene):
         )
 
 
-def test_tile_soft_T_counts_none_static_unroll(scene):
-    """The counts=None static-unroll contract of _tile_soft_T/_ragged_fori
-    (ADVICE r3): running every chunk over null-padded tables must equal the
-    ragged counts path (null slots contribute zeros; the two lowerings —
-    python unroll vs fori_loop — may differ by FMA-contraction noise across
-    separately compiled programs, so tolerance is float noise in the 0..255
-    domain, not bitwise)."""
+def test_tile_soft_T_full_counts_equals_ragged(scene):
+    """The ragged-skipping exactness contract of _tile_soft_T/_ragged_fori
+    (ADVICE r3 / VERDICT r4 #7 — the dead counts=None unroll branch is
+    gone): running EVERY chunk (counts saturated to the static K) over
+    null-padded tables must equal the real ragged-counts path, because
+    null slots contribute identically zero. The two trip counts lower to
+    different loop shapes, so tolerance is float noise in the 0..255
+    domain, not bitwise."""
     from opencl_ray_tracer_tpu.kernels.fwd import _camera_params
     from opencl_ray_tracer_tpu.kernels.soft_tiled import (
         SUB_PIX_FWD,
@@ -270,10 +318,18 @@ def test_tile_soft_T_counts_none_static_unroll(scene):
         pv, jnp.float32(c.tau_depth), tau_e, *loaders, x, y,
         counts=counts, tp=SUB_PIX_FWD, **scfg,
     )
-    unrolled = _tile_soft_T(
+    full_counts = (
+        jnp.int32(scfg["k_tri"]),
+        jnp.int32(scfg["k_sph"]),
+        tuple(
+            (jnp.int32(scfg["k_sh_tri"]), jnp.int32(scfg["k_sh_sph"]))
+            for _ in range(n_lights)
+        ),
+    )
+    saturated = _tile_soft_T(
         pv, jnp.float32(c.tau_depth), tau_e, *loaders, x, y,
-        counts=None, tp=SUB_PIX_FWD, **scfg,
+        counts=full_counts, tp=SUB_PIX_FWD, **scfg,
     )
     np.testing.assert_allclose(
-        np.asarray(ragged), np.asarray(unrolled), atol=1e-2
+        np.asarray(ragged), np.asarray(saturated), atol=1e-2
     )
