@@ -148,23 +148,32 @@ def _prim_z_extents(packed, pad):
     return tri_z, sph_z
 
 
-def _scene_z_slab(packed, pad):
-    """Global z range hit points can occupy (padded): the conservative
-    tile_z of the segment-hull shadow test under the ortho camera (hits lie
-    on primitive surfaces, so the scene slab bounds them)."""
-    tri_z, sph_z = _prim_z_extents(packed, pad)
+def _tile_hit_z(t_idx, t_valid, s_idx, s_valid, tri_zext, sph_zext,
+                nty, ntx):
+    """PER-TILE z range hit points can occupy: the min/max of the (padded)
+    z extents over the tile's PRIMARY candidate primitives — hits lie on
+    candidate surfaces, and the soft path's softmin t is a convex
+    combination of per-candidate hits, so the combined z stays inside the
+    candidates' hull. Feeding this as the segment-hull tile_z (instead of
+    the global scene slab) kills occluders that sit between the light and
+    SOME part of the scene but not this tile's hits. Tiles with no primary
+    candidates get an inverted slab; their shadow lists are garbage-but-
+    unread (the kernels skip primary-empty tiles entirely). Safe under
+    primary overflow: overflow falls back to the brute kernel for the
+    frame, so truncated candidate lists never feed a used bound.
+    Returns (tz0, tz1) shaped (nty, ntx, 1) for _bin_prims broadcasting."""
     big = jnp.float32(1e30)
-    real_t = jnp.arange(tri_z[0].shape[0]) < packed.n_tris
-    real_s = jnp.arange(sph_z[0].shape[0]) < packed.n_spheres
-    z0 = jnp.minimum(
-        jnp.min(jnp.where(real_t, tri_z[0], big)),
-        jnp.min(jnp.where(real_s, sph_z[0], big)),
-    )
-    z1 = jnp.maximum(
-        jnp.max(jnp.where(real_t, tri_z[1], -big)),
-        jnp.max(jnp.where(real_s, sph_z[1], -big)),
-    )
-    return z0, z1
+
+    def rng(idx, valid, zext):
+        z0 = jnp.where(valid, zext[0][idx], big)
+        z1 = jnp.where(valid, zext[1][idx], -big)
+        return jnp.min(z0, axis=1), jnp.max(z1, axis=1)
+
+    t0, t1 = rng(t_idx, t_valid, tri_zext)
+    s0, s1 = rng(s_idx, s_valid, sph_zext)
+    tz0 = jnp.minimum(t0, s0).reshape(nty, ntx, 1)
+    tz1 = jnp.maximum(t1, s1).reshape(nty, ntx, 1)
+    return tz0, tz1
 
 
 def _pinhole_bboxes(packed, camera: Camera):
@@ -376,10 +385,16 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None, offs=None,
     counts = jnp.sum(overlap, axis=1, dtype=jnp.int32)
     overflow = jnp.max(counts) > k
     # top-k by (overlap, ascending index): score = P - i for overlapping.
+    # k may exceed the padded primitive count (chunk-granularity rounding);
+    # top_k runs at min(k, p) and the tail columns pad invalid.
+    ktop = min(k, p)
     score = jnp.where(overlap, p - jnp.arange(p, dtype=jnp.int32), 0)
-    top, _ = jax.lax.top_k(score, k)          # (n_tiles, k), descending
+    top, _ = jax.lax.top_k(score, ktop)       # (n_tiles, ktop), descending
     valid = top > 0
     idx = jnp.where(valid, p - top, 0)
+    if ktop < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - ktop)))
+        valid = jnp.pad(valid, ((0, 0), (0, k - ktop)))
     return idx, valid, jnp.minimum(counts, k), overflow
 
 
@@ -1156,10 +1171,14 @@ def bin_scene(packed, *, height: int, width: int, k: int = 32,
         )
     lpos = packed.lights.position
     # z inputs of the segment-hull shadow culling (small pad: exact hard
-    # occlusion plus the shadow-ray t_min offset margin)
+    # occlusion plus the shadow-ray t_min offset margin). tile_z is the
+    # PER-TILE hit-z slab from the primary candidate lists (round 5) —
+    # strictly tighter than the global scene slab it replaces.
     z_pad = 0.1
     tri_zext, sph_zext = _prim_z_extents(packed, z_pad)
-    tile_z = _scene_z_slab(packed, z_pad)
+    tile_z = _tile_hit_z(
+        t_idx, t_valid, s_idx, s_valid, tri_zext, sph_zext, nty, ntx
+    )
     if k_sh_tri:
         if projective:
             planes = jnp.stack(

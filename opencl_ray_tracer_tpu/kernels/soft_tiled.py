@@ -90,7 +90,16 @@ from opencl_ray_tracer_tpu.ops.shading import LEGACY_FOG_MAX
 
 import os as _os
 
-CH = 8                 # primitives per sublane chunk
+# Primitives per sublane chunk of the soft kernels' candidate loops. The
+# ragged fori_loops execute ceil(count / CH) iterations; a larger CH
+# halves the dynamic-loop iteration count at (mostly) the same executed
+# slot count — per-iteration scalar/control overhead vs padding waste is
+# the trade. Overridable for sweeps via OCTRT_SOFT_CH.
+CH = int(_os.environ.get("OCTRT_SOFT_CH", "8"))
+if CH not in (8, 16, 32):
+    raise ValueError(
+        f"OCTRT_SOFT_CH={CH} invalid: the sublane chunk must be 8, 16 or 32"
+    )
 SUB_PIX_FWD = 2048     # lane width per inner iteration (fwd)
 # bwd strip width: the decomposed bwd keeps no cross-chunk residuals so
 # wider strips FIT. Swept on v5e via scripts/sweep_sub_pix_bwd.py (headline
@@ -108,8 +117,14 @@ if SUB_PIX_BWD <= 0 or TILE_PIX % SUB_PIX_BWD or SUB_PIX_BWD % 128:
     )
 # Coverage sigmoids are exp-small this many tau_edge units outside a
 # primitive; 16 sigma => sigmoid ~ 1.1e-7, below visibility in a 0..255
-# image and below the 1e-4 gradient tolerance.
-SOFT_CULL_SIGMAS = 16.0
+# image and below the 1e-4 gradient tolerance. Overridable for
+# tolerance/perf sweeps via OCTRT_SOFT_CULL_SIGMAS (8 sigma => 3.4e-4
+# coverage on a culled prim, ~0.09 of a 0..255 pixel worst-case).
+SOFT_CULL_SIGMAS = float(_os.environ.get("OCTRT_SOFT_CULL_SIGMAS", "16"))
+if not SOFT_CULL_SIGMAS > 0:
+    raise ValueError(
+        f"OCTRT_SOFT_CULL_SIGMAS={SOFT_CULL_SIGMAS} invalid: must be > 0"
+    )
 
 
 def _dot_attr(attr_chunk, e):
@@ -225,9 +240,14 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
         tri_box = _pad_box(tri_box, pad)
         sph_box = _pad_box(sph_box, pad)
 
-    k_tri = min(k, _round_up(max(packed.n_tris, 1), CH)) if packed.n_tris else 0
+    # k values rounded to the chunk granularity (CH may exceed 8;
+    # _bin_prims pads columns past the padded primitive count)
+    k_tri = (
+        _round_up(min(k, _round_up(packed.n_tris, CH)), CH)
+        if packed.n_tris else 0
+    )
     k_sph = (
-        min(k, _round_up(max(packed.n_spheres, 1), CH))
+        _round_up(min(k, _round_up(packed.n_spheres, CH)), CH)
         if packed.n_spheres else 0
     )
     overflow = jnp.zeros((), bool)
@@ -256,32 +276,42 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
     # occluder set, so projective shadow candidates are the FULL primitive
     # set (one shared table, see _gather_soft_tables).
     if projective:
-        k_sh_tri = packed.padded_tris if (shadows and packed.n_tris) else 0
-        k_sh_sph = (
-            packed.padded_spheres if (shadows and packed.n_spheres) else 0
-        )
-    else:
         k_sh_tri = (
-            min(shadow_k, _round_up(packed.n_tris, CH))
+            _round_up(packed.padded_tris, CH)
             if (shadows and packed.n_tris) else 0
         )
         k_sh_sph = (
-            min(shadow_k, _round_up(packed.n_spheres, CH))
+            _round_up(packed.padded_spheres, CH)
+            if (shadows and packed.n_spheres) else 0
+        )
+    else:
+        k_sh_tri = (
+            _round_up(min(shadow_k, _round_up(packed.n_tris, CH)), CH)
+            if (shadows and packed.n_tris) else 0
+        )
+        k_sh_sph = (
+            _round_up(min(shadow_k, _round_up(packed.n_spheres, CH)), CH)
             if (shadows and packed.n_spheres) else 0
         )
     lpos = packed.lights.position
 
     # z inputs of the segment-hull shadow culling: soft pad = the sigmoid
     # tail width (the t-gates extend the segment by ~4 tau_g, well inside
-    # the SOFT_CULL_SIGMAS pad) + the shadow-ray origin offset.
+    # the SOFT_CULL_SIGMAS pad) + the shadow-ray origin offset. tile_z is
+    # the PER-TILE hit-z slab over the primary candidates (round 5): the
+    # softmin t is a convex combination of candidate hits (null slots
+    # carry exactly zero weight), so per-tile hit z stays inside the
+    # candidates' padded z hull.
     from opencl_ray_tracer_tpu.kernels.fwd_tiled import (
         _prim_z_extents,
-        _scene_z_slab,
+        _tile_hit_z,
     )
 
     z_pad = pad + SHADOW_OFFSET
     tri_zext, sph_zext = _prim_z_extents(packed, z_pad)
-    tile_z = _scene_z_slab(packed, z_pad)
+    tile_z = _tile_hit_z(
+        t_idx, t_valid, s_idx, s_valid, tri_zext, sph_zext, nty, ntx
+    )
 
     def bin_sh(box, n_real, ksh, prim_z):
         idxs, valids, cnts = [], [], []
@@ -488,11 +518,20 @@ def _gather_soft_tables(packed, camera, tau_e, bins: SoftBins):
         ssh_rows = jnp.where(real_s, sph_sh16, _NULL_SSH16)
         kt = max(bins.k_sh_tri, CH)
         ks = max(bins.k_sh_sph, CH)
+
+        def pad_rows(rows, kk, null):
+            if rows.shape[0] >= kk:
+                return rows[:kk]
+            extra = jnp.broadcast_to(null, (kk - rows.shape[0], 16))
+            return jnp.concatenate([rows, extra], axis=0)
+
+        tsh_rows = pad_rows(tsh_rows, kt, _NULL_TSH16)
+        ssh_rows = pad_rows(ssh_rows, ks, _NULL_SSH16)
         tsh_t = jnp.broadcast_to(
-            tsh_rows[:kt][None], (n_lights, kt, 16)
+            tsh_rows[None], (n_lights, kt, 16)
         ).reshape(1, n_lights * kt, 16)
         ssh_t = jnp.broadcast_to(
-            ssh_rows[:ks][None], (n_lights, ks, 16)
+            ssh_rows[None], (n_lights, ks, 16)
         ).reshape(1, n_lights * ks, 16)
     else:
         tsh_t = jnp.concatenate(
@@ -924,10 +963,100 @@ def _occ_loop(
     return logvis
 
 
-def _geom_agg(f7, ctx, *, n_lights: int):
+# The candidate/occluder chunk phases put primitives on SUBLANES and
+# pixels on LANES — full (CH, tp) VPU width. The per-pixel phases (geom,
+# shade) have no primitive axis: computed on (1, tp) vectors they occupy
+# ONE sublane of each vreg (1/8 VPU width). Refolding (1, tp) ->
+# (_FOLD, tp/_FOLD) is a row-major reshape (same bytes) that fills all
+# sublanes — the hard kernel's fold trick (fwd.py) applied to the soft
+# shading-side phases, fwd AND (via their vjps) bwd.
+_FOLD = 8
+
+
+def _px_folding(tp: int):
+    """(fold, unfold) pair for (1, tp) per-pixel rows; identity when tp
+    doesn't split across sublanes.
+
+    Mosaic constraints shape every piece of this:
+    - the (1, tp) <-> (_FOLD, tp/_FOLD) shape cast is rejected outright
+      ("infer-vector-layout: unsupported shape cast"),
+    - fold = lane-slices + sublane concat compiles (the hard kernel's
+      trick), but its AUTODIFF transpose emits lane-offset pads Mosaic
+      can't lower ("result/input offset mismatch on non-concat dim"),
+    - row extraction for unfold must use sublane-masked SUMS, not
+      a[q:q+1] slices — a sliced row keeps its sublane offset q and
+      cannot be lane-concatenated.
+    So fold/unfold are a custom_vjp PAIR: each one's backward is the
+    other's (supported) forward, and JAX never emits the unsupported
+    transposes."""
+    if tp % _FOLD:
+        ident = lambda a: a
+        return ident, ident
+    tpf = tp // _FOLD
+
+    def fold_raw(a):
+        return jnp.concatenate(
+            [a[:, q * tpf : (q + 1) * tpf] for q in range(_FOLD)], axis=0
+        )
+
+    def unfold_raw(a):
+        sub = jax.lax.broadcasted_iota(jnp.int32, (_FOLD, tpf), 0)
+        rows = [
+            jnp.sum(jnp.where(sub == q, a, 0.0), axis=0, keepdims=True)
+            for q in range(_FOLD)
+        ]
+        return jnp.concatenate(rows, axis=1)
+
+    @jax.custom_vjp
+    def fold_op(a):
+        return fold_raw(a)
+
+    fold_op.defvjp(
+        lambda a: (fold_raw(a), None), lambda _, g: (unfold_raw(g),)
+    )
+
+    @jax.custom_vjp
+    def unfold_op(a):
+        return unfold_raw(a)
+
+    unfold_op.defvjp(
+        lambda a: (unfold_raw(a), None), lambda _, g: (fold_raw(g),)
+    )
+
+    def fold(a):
+        if not (hasattr(a, "ndim") and a.ndim == 2 and a.shape == (1, tp)):
+            return a
+        return fold_op(a)
+
+    def unfold(a):
+        if not (
+            hasattr(a, "ndim") and a.ndim == 2 and a.shape == (_FOLD, tpf)
+        ):
+            return a
+        return unfold_op(a)
+
+    return fold, unfold
+
+
+def _geom_agg(f7, ctx, *, n_lights: int, fold_px: bool = True):
     """Aggregates -> shading geometry: normalized hit attributes, view
-    vector, background weight, and per-light shadow-ray frames."""
+    vector, background weight, and per-light shadow-ray frames.
+    Internally folded to full VPU width (_px_folding); inputs are (1, tp),
+    outputs are FOLDED except the *_u shadow-ray frames (see return)."""
     z, st, s8, snx, sny, snz, bacc = f7
+    tp_ = z.shape[1]
+    fold, unfold = _px_folding(tp_ if fold_px else 1)
+    z, st, snx, sny, snz, bacc = map(fold, (z, st, snx, sny, snz, bacc))
+    s8rows = [fold(s8[q : q + 1]) for q in range(6)]
+    ctx = dict(
+        ctx,
+        o=tuple(fold(c) for c in ctx["o"]),
+        d=tuple(fold(c) for c in ctx["d"]),
+        lights=tuple(
+            (tuple(fold(c) for c in lp), lc, lint)
+            for lp, lc, lint in ctx["lights"]
+        ),
+    )
     o, d = ctx["o"], ctx["d"]
     zinv = 1.0 / jnp.maximum(z, 1e-20)
     w_bg = jnp.exp(bacc)
@@ -935,12 +1064,12 @@ def _geom_agg(f7, ctx, *, n_lights: int):
     # tri normal contributions ride s8 rows 3-5 (pre-flipped, constant per
     # prim => foldable into the albedo matmul); sphere normals are
     # per-pixel and accumulate explicitly.
-    nx = (s8[3:4] + snx) * zinv
-    ny = (s8[4:5] + sny) * zinv
-    nz = (s8[5:6] + snz) * zinv
+    nx = (s8rows[3] + snx) * zinv
+    ny = (s8rows[4] + sny) * zinv
+    nz = (s8rows[5] + snz) * zinv
     ninv = jax.lax.rsqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
     nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
-    ar, ag, ab = s8[0:1] * zinv, s8[1:2] * zinv, s8[2:3] * zinv
+    ar, ag, ab = s8rows[0] * zinv, s8rows[1] * zinv, s8rows[2] * zinv
     px = o[0] + t_hat * d[0]
     py = o[1] + t_hat * d[1]
     pz = o[2] + t_hat * d[2]
@@ -959,24 +1088,36 @@ def _geom_agg(f7, ctx, *, n_lights: int):
             pz + SHADOW_OFFSET * nz,
         ))
         dists.append(dist)
+    # FOLDED outputs for the (folded) shade stage; the occluder chunk
+    # loops need pixels-on-lanes, so the shadow-ray frames are ALSO
+    # returned unfolded (keys *_u) — one unfold of 7 arrays instead of a
+    # full-dict unfold + shade-side refold round trip.
     return dict(
         n=(nx, ny, nz),
         a=(ar, ag, ab),
         v=(-d[0] * vinv, -d[1] * vinv, -d[2] * vinv),
         w_bg=w_bg,
-        so=tuple(sos), sd=tuple(sds), dist=tuple(dists),
+        sd=tuple(sds),
+        so_u=jax.tree_util.tree_map(unfold, tuple(sos)),
+        sd_u=jax.tree_util.tree_map(unfold, tuple(sds)),
+        dist_u=jax.tree_util.tree_map(unfold, tuple(dists)),
     )
 
 
-def _shade_agg(geom, logvis, ctx, *, shading: str, n_lights: int, tp: int):
+def _shade_agg(geom, logvis, ctx, *, shading: str, n_lights: int, tp: int,
+               fold_px: bool = True):
     """Aggregate-then-shade combine: geometry + per-light log-visibility ->
-    (8, tp) output rows [r, g, b, alpha, 0 x4]."""
-    zeros1 = jnp.zeros((1, tp), jnp.float32)
+    (8, tp) output rows [r, g, b, alpha, 0 x4]. geom arrives FOLDED
+    (_geom_agg's contract, same fold_px); logvis folds at entry; channels
+    unfold at exit."""
+    fold, unfold = _px_folding(tp if fold_px else 1)
+    if logvis is not None:
+        logvis = tuple(fold(lv) for lv in logvis)
     nx, ny, nz = geom["n"]
     ar, ag, ab = geom["a"]
     vx, vy, vz = geom["v"]
-    diff_r, diff_g, diff_b = zeros1, zeros1, zeros1
-    spec_r, spec_g, spec_b = zeros1, zeros1, zeros1
+    diff_r = diff_g = diff_b = 0.0
+    spec_r = spec_g = spec_b = 0.0
     for li in range(n_lights):
         _, lc, lint = ctx["lights"][li]
         ldx, ldy, ldz = geom["sd"][li]
@@ -1008,9 +1149,9 @@ def _shade_agg(geom, logvis, ctx, *, shading: str, n_lights: int, tp: int):
     one_m_bg = 1.0 - geom["w_bg"]
     return jnp.concatenate(
         [
-            jnp.clip(one_m_bg * fg_r * 255.0, 0.0, 255.0),
-            jnp.clip(one_m_bg * fg_g * 255.0, 0.0, 255.0),
-            jnp.clip(one_m_bg * fg_b * 255.0, 0.0, 255.0),
+            unfold(jnp.clip(one_m_bg * fg_r * 255.0, 0.0, 255.0)),
+            unfold(jnp.clip(one_m_bg * fg_g * 255.0, 0.0, 255.0)),
+            unfold(jnp.clip(one_m_bg * fg_b * 255.0, 0.0, 255.0)),
             jnp.full((1, tp), 255.0, jnp.float32),
             jnp.zeros((4, tp), jnp.float32),
         ],
@@ -1018,9 +1159,11 @@ def _shade_agg(geom, logvis, ctx, *, shading: str, n_lights: int, tp: int):
     )
 
 
-def _shade_nonagg(f5, *, shading: str, tp: int):
-    """Per-primitive-shading normalize: finals -> (8, tp) output rows."""
-    z, sr, sg, sb_, bacc = f5
+def _shade_nonagg(f5, *, shading: str, tp: int, fold_px: bool = True):
+    """Per-primitive-shading normalize: finals -> (8, tp) output rows.
+    Folded to full VPU width internally (_px_folding)."""
+    fold, unfold = _px_folding(tp if fold_px else 1)
+    z, sr, sg, sb_, bacc = (fold(a) for a in f5)
     zinv = 1.0 / jnp.maximum(z, 1e-20)
     w_bg = jnp.exp(bacc)
     r_out = (1.0 - w_bg) * sr * zinv
@@ -1032,7 +1175,7 @@ def _shade_nonagg(f5, *, shading: str, tp: int):
         b_out = jnp.clip(b_out, 0.0, 255.0)
     return jnp.concatenate(
         [
-            r_out, g_out, b_out,
+            unfold(r_out), unfold(g_out), unfold(b_out),
             jnp.full((1, tp), 255.0, jnp.float32),
             jnp.zeros((4, tp), jnp.float32),
         ],
@@ -1084,6 +1227,7 @@ def _tile_soft_T(
     projective: bool = False,
     counts,
     want_finals: bool = False,
+    fold_px: bool = True,
 ):
     """One SUB_PIX strip of the tiled soft renderer as a pure array function
     — the orchestrator over the shared tile math above.
@@ -1120,7 +1264,9 @@ def _tile_soft_T(
             k_tri=k_tri, k_sph=k_sph, tp=tp, projective=projective,
             shading=shading, n_lights=n_lights,
         )
-        out = _shade_nonagg(finals[1:], shading=shading, tp=tp)
+        out = _shade_nonagg(
+            finals[1:], shading=shading, tp=tp, fold_px=fold_px
+        )
         if not want_finals:
             return out
         fin = jnp.concatenate(
@@ -1132,20 +1278,21 @@ def _tile_soft_T(
         load_tri, load_sph, ctx, cnts,
         k_tri=k_tri, k_sph=k_sph, tp=tp, projective=projective,
     )
-    geom = _geom_agg(finals[1:], ctx, n_lights=n_lights)
+    geom = _geom_agg(finals[1:], ctx, n_lights=n_lights, fold_px=fold_px)
     logvis = None
     if shadows:
         logvis = tuple(
             _occ_loop(
                 load_tri_sh, load_sph_sh,
-                geom["so"][li], geom["sd"][li], geom["dist"][li],
+                geom["so_u"][li], geom["sd_u"][li], geom["dist_u"][li],
                 ctx, sh_counts[li],
                 li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph, tp=tp,
             )
             for li in range(n_lights)
         )
     out = _shade_agg(
-        geom, logvis, ctx, shading=shading, n_lights=n_lights, tp=tp
+        geom, logvis, ctx, shading=shading, n_lights=n_lights, tp=tp,
+        fold_px=fold_px,
     )
     if not want_finals:
         return out
@@ -1452,6 +1599,7 @@ def _soft_tiled_bwd_pallas(
     n_lights = cfg["n_lights"]
     k_tri, k_sph = cfg["k_tri"], cfg["k_sph"]
     k_sh_tri, k_sh_sph = cfg["k_sh_tri"], cfg["k_sh_sph"]
+    fold_px = cfg["fold_px"]
     aggregate = shading == "phong" or (shadows and shading == "lambert")
     use_finals = res_tiles is not None
     r_fin = _finals_rows(aggregate, n_lights if shadows else 0)
@@ -1528,6 +1676,26 @@ def _soft_tiled_bwd_pallas(
             )
             gctx_zero = jax.tree_util.tree_map(jnp.zeros_like, ctx)
 
+            # Pixel-coordinate-derived ctx entries (x, y, quad) are
+            # CONSTANTS in-kernel (pure functions of the grid indices, no
+            # parameter dependence). The per-chunk vjps close over them
+            # instead of differentiating them, so every chunk loop skips
+            # computing AND loop-carrying their cotangents (the affine
+            # tests would otherwise emit per-chunk gx/gy reduction sums
+            # whose results builder_vjp discards anyway).
+            _const_keys = ("x", "y", "quad")
+            ctx_const = {q: ctx[q] for q in _const_keys}
+            ctx_diff = {q: v for q, v in ctx.items() if q not in _const_keys}
+
+            def with_const(cd):
+                return {**cd, **ctx_const}
+
+            def split_ctx(c):
+                return (
+                    {q: v for q, v in c.items() if q not in _const_keys},
+                    {q: c[q] for q in _const_keys},
+                )
+
             # finals: stored (exact values the fwd kernel computed — no
             # streaming/occluder recompute pass) or recomputed in-kernel
             fin = res_ref[0] if use_finals else None
@@ -1547,7 +1715,10 @@ def _soft_tiled_bwd_pallas(
                     m = jax.lax.stop_gradient(finals[0])
                     f7 = jax.lax.stop_gradient(finals[1:])
                 geom, geom_vjp = jax.vjp(
-                    lambda f, c: _geom_agg(f, c, n_lights=n_lights), f7, ctx
+                    lambda f, c: _geom_agg(
+                        f, c, n_lights=n_lights, fold_px=fold_px
+                    ),
+                    f7, ctx,
                 )
                 logvis = None
                 if shadows:
@@ -1559,8 +1730,8 @@ def _soft_tiled_bwd_pallas(
                         logvis = tuple(
                             _occ_loop(
                                 load_tri_sh, load_sph_sh,
-                                geom["so"][li], geom["sd"][li],
-                                geom["dist"][li], ctx, sh_counts[li],
+                                geom["so_u"][li], geom["sd_u"][li],
+                                geom["dist_u"][li], ctx, sh_counts[li],
                                 li=li, k_sh_tri=k_sh_tri, k_sh_sph=k_sh_sph,
                                 tp=sub,
                             )
@@ -1568,11 +1739,13 @@ def _soft_tiled_bwd_pallas(
                         )
                 _, shade_vjp = jax.vjp(
                     lambda gm, lv, c: _shade_agg(
-                        gm, lv, c, shading=shading, n_lights=n_lights, tp=sub
+                        gm, lv, c, shading=shading, n_lights=n_lights,
+                        tp=sub, fold_px=fold_px,
                     ),
                     geom, logvis, ctx,
                 )
-                g_geom, g_logvis, gctx = shade_vjp(g)
+                g_geom, g_logvis, gctx_full = shade_vjp(g)
+                gctx, gctx_const = split_ctx(gctx_full)
 
                 # ---- occluder chunks (ragged vjps, grads -> refs) -------
                 if shadows:
@@ -1582,9 +1755,9 @@ def _soft_tiled_bwd_pallas(
                     g_so, g_sd, g_dist = [], [], []
                     for li in range(n_lights):
                         glv = g_logvis[li]
-                        so = geom["so"][li]
-                        sd = geom["sd"][li]
-                        dist = geom["dist"][li]
+                        so = geom["so_u"][li]
+                        sd = geom["sd_u"][li]
+                        dist = geom["dist_u"][li]
 
                         def occ_body(kind, li=li, glv=glv, so=so, sd=sd,
                                      dist=dist):
@@ -1598,9 +1771,9 @@ def _soft_tiled_bwd_pallas(
                                 tab = load(li, ci)
                                 _, vjp = jax.vjp(
                                     lambda t5, s5, d5, q5, c5: _occ_contrib(
-                                        t5, s5, d5, q5, c5, kind
+                                        t5, s5, d5, q5, with_const(c5), kind
                                     ),
-                                    tab, so, sd, dist, ctx,
+                                    tab, so, sd, dist, ctx_diff,
                                 )
                                 gtb, gso_c, gsd_c, gdist_c, gctx_c = vjp(glv)
                                 dref[0, li * nsh + ci] += gtb
@@ -1626,32 +1799,36 @@ def _soft_tiled_bwd_pallas(
                         g_sd.append(gsd_li)
                         g_dist.append(gdist_li)
 
-                    # fold occluder so/sd/dist cotangents into g_geom
+                    # fold occluder so/sd/dist cotangents into g_geom's
+                    # unfolded *_u slots (shade's own cotangents ride the
+                    # folded keys; _geom_agg's vjp merges both paths)
                     g_geom = dict(
                         g_geom,
-                        so=tuple(
-                            tuple(a + b for a, b in zip(g_geom["so"][li],
+                        so_u=tuple(
+                            tuple(a + b for a, b in zip(g_geom["so_u"][li],
                                                         g_so[li]))
                             for li in range(n_lights)
                         ),
-                        sd=tuple(
-                            tuple(a + b for a, b in zip(g_geom["sd"][li],
+                        sd_u=tuple(
+                            tuple(a + b for a, b in zip(g_geom["sd_u"][li],
                                                         g_sd[li]))
                             for li in range(n_lights)
                         ),
-                        dist=tuple(
-                            g_geom["dist"][li] + g_dist[li]
+                        dist_u=tuple(
+                            g_geom["dist_u"][li] + g_dist[li]
                             for li in range(n_lights)
                         ),
                     )
 
                 g_f7, gctx_c = geom_vjp(g_geom)
-                gctx = tree_add(gctx, gctx_c)
+                gd_c, gconst_c = split_ctx(gctx_c)
+                gctx = tree_add(gctx, gd_c)
+                gctx_const = tree_add(gctx_const, gconst_c)
                 cot = g_f7  # cotangents for (z, st, s8, snx, sny, snz, bacc)
 
                 def contrib(kind):
-                    return lambda tb, al, c: _chunk_contrib_agg(
-                        tb, al, c, m, kind, projective
+                    return lambda tb, al, cd: _chunk_contrib_agg(
+                        tb, al, with_const(cd), m, kind, projective
                     )
             else:
                 if use_finals:
@@ -1669,14 +1846,18 @@ def _soft_tiled_bwd_pallas(
                     m = jax.lax.stop_gradient(finals[0])
                     f5 = jax.lax.stop_gradient(finals[1:])
                 _, shade_vjp = jax.vjp(
-                    lambda f: _shade_nonagg(f, shading=shading, tp=sub), f5
+                    lambda f: _shade_nonagg(
+                        f, shading=shading, tp=sub, fold_px=fold_px
+                    ),
+                    f5,
                 )
                 (cot,) = shade_vjp(g)
-                gctx = gctx_zero
+                gctx, gctx_const = split_ctx(gctx_zero)
 
                 def contrib(kind):
-                    return lambda tb, al, c: _chunk_contrib_nonagg(
-                        tb, al, c, m, kind, projective, shading, n_lights
+                    return lambda tb, al, cd: _chunk_contrib_nonagg(
+                        tb, al, with_const(cd), m, kind, projective, shading,
+                        n_lights,
                     )
 
             # ---- candidate chunks (ragged vjps, grads -> refs) ----------
@@ -1687,7 +1868,7 @@ def _soft_tiled_bwd_pallas(
 
                 def body(ci, gctx_a):
                     tab, alb = load(ci)
-                    _, vjp = jax.vjp(contrib(kind), tab, alb, ctx)
+                    _, vjp = jax.vjp(contrib(kind), tab, alb, ctx_diff)
                     gtb, gal, gctx_c = vjp(cot)
                     dref_t[0, ci] += gtb
                     dref_a[0, ci] += gal
@@ -1699,7 +1880,7 @@ def _soft_tiled_bwd_pallas(
             gctx = _ragged_fori(k_sph // CH, cnt_sph, cand_body("sph"), gctx)
 
             # ---- assemble ------------------------------------------------
-            gpv, gtd, gte = builder_vjp(gctx)
+            gpv, gtd, gte = builder_vjp({**gctx, **gctx_const})
             d_par[0] += jnp.concatenate(
                 [gq.reshape(1, 1) for gq in gpv], axis=1
             )
@@ -1787,16 +1968,23 @@ def _soft_tiled_bwd_pallas(
 
 
 def _soft_cfg(bins: SoftBins, packed, shading, shadows, tp):
+    n_lights = packed.lights.position.shape[0]
     return dict(
         k_tri=bins.k_tri,
         k_sph=bins.k_sph,
         k_sh_tri=bins.k_sh_tri,
         k_sh_sph=bins.k_sh_sph,
-        n_lights=packed.lights.position.shape[0],
+        n_lights=n_lights,
         shading=shading,
         shadows=shadows,
         tp=tp,
         projective=bins.projective,
+        # Sublane-fold the per-pixel shading phases only in the big-scene
+        # regime (same static threshold as the stored-finals backward):
+        # measured on v5e, folding wins ~5% at the 200-prim stress scale
+        # but costs the 11-prim headline ~20% (the fold/unfold boundary
+        # work outweighs the phase it widens on sparse frames).
+        fold_px=_use_stored_finals(bins, n_lights, shadows),
     )
 
 
