@@ -625,6 +625,7 @@ def main(argv=None) -> None:
         print(f"# fwd+bwd bench failed: {type(e).__name__}: {e}", file=sys.stderr)
         us_g, rays_g = float("nan"), 0.0
 
+    rays_stress = None
     if not args.skip_context:
         try:
             cfg_legacy = RenderConfig(width=wid, height=hgt, shading="legacy",
@@ -663,10 +664,11 @@ def main(argv=None) -> None:
             # soft fwd+bwd path
             cfg_stress_soft = cfg_100.replace(cull_k=96, shadow_cull_k=136)
             u4s, r4s = bench_fwd_bwd_soft(
-                scene_stress, cfg_stress_soft, n_frames=5
+                scene_stress, cfg_stress_soft, n_frames=5, best_of=3
             )
             row("fwd+bwd soft phong+shadows 1080p 100sph+100cubes (k=96)",
                 u4s, r4s)
+            rays_stress = r4s  # driver-recorded (VERDICT r4 #1)
             # BASELINE config 5 analogue: 4K render, 200 primitives
             w4k, h4k = 3840, 2160
             scene_4k = random_scene(
@@ -787,6 +789,17 @@ def main(argv=None) -> None:
                         "fwd_bwd_us_max": round(us_g_max, 1),
                     }
                     if us_g_min == us_g_min else {}
+                ),
+                # the reference's own stress fixture (scene-3 class,
+                # 100 sph + 100 cubes) through the soft fwd+bwd path —
+                # the BASELINE-criterion scale (VERDICT r4 #1)
+                **(
+                    {
+                        "stress_fwd_bwd_rays_per_s": rays_stress,
+                        "stress_fwd_bwd_vs_target":
+                            rays_stress / TARGET_FWDBWD_RAYS_PER_S,
+                    }
+                    if rays_stress is not None else {}
                 ),
                 **(
                     {
