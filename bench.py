@@ -328,7 +328,9 @@ def bench_bwd_sol(us_step, scene, config, cam) -> dict:
     table HBM term from the per-tile grad block sizes."""
     import numpy as _np
 
-    from opencl_ray_tracer_tpu.kernels.soft_tiled import TILE_PIX, _bin_soft
+    from opencl_ray_tracer_tpu.kernels.soft_tiled import (
+        CH, TILE_PIX, _bin_soft,
+    )
 
     cam = cam or legacy_ortho_camera()
     packed = scene.pack()
@@ -339,7 +341,7 @@ def bench_bwd_sol(us_step, scene, config, cam) -> dict:
         shadow_k=config.shadow_cull_k,
     )
     cnts = _np.asarray(bins.counts)
-    chunks = _np.ceil(cnts / 8.0) * 8.0
+    chunks = _np.ceil(cnts / float(CH)) * float(CH)
     n_slots = float(chunks.sum(axis=1).mean())
     n_lights = int(_np.asarray(packed.lights.position).shape[0])
     # floats written per tile into grad-table blocks (coef 16 + albedo 8

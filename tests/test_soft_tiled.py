@@ -158,7 +158,17 @@ def test_projective_tiled_soft_matches_brute(scene, shading, shadows):
     assert err.max() < 1.0, err.max()
 
 
-def test_stored_finals_bwd_grads_match_recompute(scene, monkeypatch):
+@pytest.mark.parametrize(
+    "shading,shadows,camera",
+    [
+        ("phong", True, "ortho"),      # aggregate finals layout
+        ("lambert", False, "ortho"),   # per-primitive-shading layout
+        ("phong", True, "pinhole"),    # projective + shared shadow tables
+    ],
+)
+def test_stored_finals_bwd_grads_match_recompute(
+    scene, monkeypatch, shading, shadows, camera
+):
     """Round 5: the STORED-FINALS backward regime (fwd kernel emits the
     streaming finals; bwd reads them instead of recomputing the streaming
     pass) must produce the same gradients as the recompute regime — the
@@ -166,8 +176,16 @@ def test_stored_finals_bwd_grads_match_recompute(scene, monkeypatch):
     regime threshold; the small-scene default exercises recompute."""
     import opencl_ray_tracer_tpu.kernels.soft_tiled as stl
 
-    cam = legacy_ortho_camera()
-    c = cfg("phong", True)
+    if camera == "pinhole":
+        from opencl_ray_tracer_tpu import pinhole_camera
+
+        cam = pinhole_camera(
+            position=(128.0, 64.0, 300.0), look_at=(128.0, 64.0, -85.0),
+            fov_degrees=60.0, width=W, height=H,
+        )
+    else:
+        cam = legacy_ortho_camera()
+    c = cfg(shading, shadows)
     packed = scene.pack()
 
     def loss(p):
