@@ -36,6 +36,7 @@ from opencl_ray_tracer_tpu import RenderConfig, legacy_ortho_camera
 from opencl_ray_tracer_tpu.bench_util import (
     device_frame_time_us,
     device_step_time_us,
+    median_spread,
 )
 from opencl_ray_tracer_tpu.kernels.fwd import render_pallas_packed
 from opencl_ray_tracer_tpu.kernels.fwd_tiled import bin_scene, render_tiled_packed
@@ -101,14 +102,13 @@ def bench_config(scene, config, cam=None, tiled=True, n_frames=100,
     # identical cache-hit runs; repeats are cheap (no compiles). The
     # MEDIAN is the reported value; spread=True also returns [min, max]
     # so the driver JSON records the session spread (VERDICT r4 #4).
-    samples = sorted(
+    us, us_lo, us_hi = median_spread(
         device_frame_time_us(fn, cam, n_frames=n_frames)
         for _ in range(best_of)
     )
-    us = samples[len(samples) // 2]
     rays_per_s = (config.width * config.height) / (us / 1e6)
     if spread:
-        return us, rays_per_s, samples[0], samples[-1]
+        return us, rays_per_s, us_lo, us_hi
     return us, rays_per_s
 
 
@@ -136,14 +136,13 @@ def bench_fwd_bwd_soft(scene, config, cam=None, n_frames=20, best_of=1,
             jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(g)
         )
 
-    samples = sorted(
+    us, us_lo, us_hi = median_spread(
         device_step_time_us(step, cam, n_frames=n_frames)
         for _ in range(best_of)
     )
-    us = samples[len(samples) // 2]
     rays_per_s = (config.width * config.height) / (us / 1e6)
     if spread:
-        return us, rays_per_s, samples[0], samples[-1]
+        return us, rays_per_s, us_lo, us_hi
     return us, rays_per_s
 
 
@@ -351,21 +350,28 @@ def bench_bwd_sol(us_step, scene, config, cam) -> dict:
         + n_lights * (bins.k_sh_tri + bins.k_sh_sph) * 16
     )
     gt_bytes = rows * 4.0 * 2.0 / TILE_PIX
-    # stored-finals residual block (round 5): the fwd writes R f32 rows/px
-    # of streaming finals that the bwd reads back instead of recomputing
-    # the whole streaming pass — charge both directions.
-    from opencl_ray_tracer_tpu.kernels.soft_tiled import _finals_rows
+    # stored-finals residual block (round 5): when the config's static
+    # slot count selects that regime, the fwd writes R f32 rows/px of
+    # streaming finals the bwd reads back — charge both directions. The
+    # recompute regime (small scenes, e.g. the headline) moves none.
+    from opencl_ray_tracer_tpu.kernels.soft_tiled import (
+        _finals_rows,
+        _use_stored_finals,
+    )
 
     aggregate = config.shading == "phong" or (
         config.shadows and config.shading == "lambert"
     )
-    r_fin = _finals_rows(aggregate, n_lights if config.shadows else 0)
-    fin_bytes = 2.0 * 4.0 * r_fin
+    fin_bytes = 0.0
+    if _use_stored_finals(bins, n_lights, config.shadows):
+        r_fin = _finals_rows(aggregate, n_lights if config.shadows else 0)
+        fin_bytes = 2.0 * 4.0 * r_fin
     return sol_fraction_bwd(
         us_step, config.width * config.height, n_prim_slots=n_slots,
         grad_table_bytes_per_pixel=gt_bytes,
         # fwd writes 8 f32 rows/px, the retiled upstream g costs a write +
         # a read of the same (32 + 32 + 32 B/px), plus the finals block
+        # when the stored-finals regime is active
         out_bytes_per_pixel=96.0 + fin_bytes,
     )
 
@@ -453,8 +459,11 @@ def bench_parity(cam=None) -> dict:
         (int(rng.integers(h_)), int(rng.integers(w_))) for _ in range(8)
     ]
     perr = 0.0
-    for yy, xx in probes:
-        ct = jnp.zeros((h_, w_, 3), jnp.float32).at[yy, xx, 0].set(1.0)
+    for pi, (yy, xx) in enumerate(probes):
+        # cycle the probed channel: shading is channel-separable, so a
+        # red-only probe would leave green/blue albedo gradient chains
+        # entirely unchecked
+        ct = jnp.zeros((h_, w_, 3), jnp.float32).at[yy, xx, pi % 3].set(1.0)
         (row_p,) = vjp_p(ct)
         (row_j,) = vjp_j(ct)
         for lp, lj in zip(

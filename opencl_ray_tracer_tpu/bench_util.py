@@ -22,6 +22,7 @@ chip (and can even under-report: the platform occasionally returns early).
 from __future__ import annotations
 
 import dataclasses
+import sys
 import time
 from typing import Callable
 
@@ -86,10 +87,30 @@ def _slope_us(render_fn, camera, n_frames: int, reps: int,
         )
     t1 = _scan_total_us(render_fn, camera, n1, reps, scalar_body)
     t2 = _scan_total_us(render_fn, camera, n_frames, reps, scalar_body)
-    # clamp to a small positive epsilon, not 0.0: callers divide by this
-    # (rays/s), and a noisy session where t(N2) <= t(N1) must degrade to a
-    # huge-but-finite rate instead of a ZeroDivisionError.
-    return max((t2 - t1) / (n_frames - n1), 1e-3)
+    slope = (t2 - t1) / (n_frames - n1)
+    if slope <= 0.0:
+        # clamp to a small positive epsilon, not 0.0: callers divide by
+        # this (rays/s) and must not ZeroDivisionError — but a
+        # non-positive slope means the measurement FAILED (session noise
+        # swamped the per-frame cost), so say so loudly rather than let
+        # an absurd ~1e15 rays/s ride into a record unmarked.
+        print(
+            f"# WARNING: invalid slope ({slope:.1f} us/frame <= 0: "
+            f"t({n1})={t1:.0f}us, t({n_frames})={t2:.0f}us) — clamped to "
+            f"1e-3 us; this sample is measurement noise, not throughput",
+            file=sys.stderr,
+        )
+        return 1e-3
+    return slope
+
+
+def median_spread(samples) -> tuple:
+    """(median, min, max) of an iterable of measurements — the one
+    aggregation policy for repeated slope samples (median tolerates the
+    occasional early-returning fence in either direction; min/max carry
+    the session spread into records)."""
+    s = sorted(samples)
+    return s[len(s) // 2], s[0], s[-1]
 
 
 def device_frame_time_us(

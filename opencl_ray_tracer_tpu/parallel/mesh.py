@@ -71,9 +71,12 @@ def make_mesh_2d(
 
 
 def mesh_row_axes(mesh: Mesh, axis: str = IMAGE_AXIS):
-    """The mesh axes image rows shard over: (host, image) on a 2-D pod
-    mesh, (image,) on the flat mesh."""
-    return tuple(a for a in (HOST_AXIS, axis) if a in mesh.axis_names)
+    """The mesh axes image rows shard over — ALL of the mesh's axes, in
+    mesh order (pixels are this workload's only parallel dimension, so
+    every axis, whatever its name, shards rows; the 2-D pod mesh's outer
+    axis rides first = host-major row blocks)."""
+    del axis  # kept for signature compatibility; all axes shard rows
+    return tuple(mesh.axis_names)
 
 
 def mesh_n_shards(mesh: Mesh, axis: str = IMAGE_AXIS) -> int:

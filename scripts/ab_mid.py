@@ -37,15 +37,16 @@ def main():
         val, g = jax.value_and_grad(loss)(scene)
         return val + sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g))
 
+    from opencl_ray_tracer_tpu.bench_util import median_spread
+
     for thresh in (128, 10_000):  # finals regime vs forced recompute
         stl._FINALS_MIN_SLOTS = thresh
-        samples = sorted(
+        med, lo, hi = median_spread(
             device_step_time_us(step, cam, n_frames=8) for _ in range(3)
         )
-        med = samples[1]
         label = "stored-finals" if thresh == 128 else "recompute"
         print(f"mid 50sph+4cubes {label}: median {med:.0f} us "
-              f"[{samples[0]:.0f}, {samples[-1]:.0f}] -> "
+              f"[{lo:.0f}, {hi:.0f}] -> "
               f"{W*H/(med/1e6):.3e} rays/s", file=sys.stderr)
 
 

@@ -35,13 +35,14 @@ def main():
         val, g = jax.value_and_grad(loss)(scene)
         return val + sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g))
 
-    samples = sorted(
+    from opencl_ray_tracer_tpu.bench_util import median_spread
+
+    med, lo, hi = median_spread(
         device_step_time_us(step, cam, n_frames=5) for _ in range(3)
     )
-    med = samples[1]
     print(f"CH={os.environ.get('OCTRT_SOFT_CH', '8')} "
           f"SUB={os.environ.get('OCTRT_SUB_PIX_BWD', '2048')} stress A-row: "
-          f"median {med:.0f} us [{samples[0]:.0f}, {samples[-1]:.0f}] -> "
+          f"median {med:.0f} us [{lo:.0f}, {hi:.0f}] -> "
           f"{W*H/(med/1e6):.3e} rays/s", file=sys.stderr)
 
 

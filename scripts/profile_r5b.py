@@ -38,23 +38,17 @@ def main():
     cfg = RenderConfig(width=W, height=H, shading="phong", shadows=True,
                        framebuffer_dtype="packed")
 
-    # true ortho dynamic frame: camera-dependent bins in graph
-    def dyn_ortho(c):
+    # true dynamic frame: camera-dependent bins in graph (same recipe for
+    # both camera families — only the camera passed differs)
+    def dyn_frame(c):
         b = bin_scene(packed, height=H, width=W, k=cfg.cull_k,
                       shadows=True, shadow_k=cfg.shadow_cull_k, camera=c)
         return render_tiled_packed(packed, c, cfg, interpret=False, bins=b)
 
-    us = device_frame_time_us(dyn_ortho, cam, n_frames=50)
+    us = device_frame_time_us(dyn_frame, cam, n_frames=50)
     print(f"dynamic ortho frame (camera-dep bins in graph): {us:.0f} us",
           file=sys.stderr)
-
-    # true pinhole dynamic frame
-    def dyn_ph(c):
-        b = bin_scene(packed, height=H, width=W, k=cfg.cull_k,
-                      shadows=True, shadow_k=cfg.shadow_cull_k, camera=c)
-        return render_tiled_packed(packed, c, cfg, interpret=False, bins=b)
-
-    us = device_frame_time_us(dyn_ph, cam_ph, n_frames=50)
+    us = device_frame_time_us(dyn_frame, cam_ph, n_frames=50)
     print(f"dynamic pinhole frame (camera-dep bins in graph): {us:.0f} us",
           file=sys.stderr)
 

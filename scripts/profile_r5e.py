@@ -65,7 +65,6 @@ def main():
         us = device_step_time_us(step, cam, n_frames=n)
         rows.append((label, us))
         print(f"{label}: {us:.0f} us", file=sys.stderr)
-    d = dict((l[0], u) for l, u in rows)
     try:
         print(f"-> bwd shadows = {rows[0][1] - rows[2][1]:.0f} us total bwd; "
               f"shadow share of bwd = "
