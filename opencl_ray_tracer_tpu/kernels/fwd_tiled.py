@@ -12,7 +12,9 @@ pays 256 slots per pixel. This kernel is the acceleration structure the
 reference never had (SURVEY.md §2: "no BVH"), built the TPU way — as a
 dense two-level grid, not a pointer tree:
 
-1. BINNING (XLA, scene-static, ~1.5 ms at 1080p): with the legacy camera's
+1. BINNING (XLA, ~50-100 us in-graph at 1080p — round-5 slope-harness
+   measurement; earlier rounds' "~1.5 ms" figure was a single-dispatch
+   artifact of the tunnel's per-call latency): with the legacy camera's
    shared direction (0,0,-1), a primitive can only cover a 64x128-pixel tile
    if its screen-space bbox overlaps the tile rect. A (tiles x prims)
    overlap matrix -> top-K compaction gives each tile a padded candidate
@@ -321,7 +323,8 @@ def _bin_prims(box, n_real, nty, ntx, k, light_xy=None, offs=None,
     shadow-candidate test.
 
     With light_z + prim_z=(pz0, pz1) per prim + tile_z=(tz0, tz1) (the z
-    range hit points can occupy, e.g. the scene slab), the corridor tightens
+    range hit points can occupy — scalars or per-tile (nty, ntx, 1)
+    arrays, see _tile_hit_z), the corridor tightens
     to the SEGMENT-HULL test: the occluder AABB must intersect the convex
     hull of (tile hit box x light point). Per axis the feasible segment
     parameter s is an interval (_axis_s_interval); a prim is a candidate iff
@@ -1524,9 +1527,11 @@ def render_tiled_packed(
     shared-origin pinhole (`normalize` cameras, whose origin derivatives dox
     and doy must be zero — the only normalize cameras this framework
     constructs). Pass precomputed `bins` (from bin_scene) for hot loops
-    where the scene is fixed — binning is the expensive per-frame XLA work
-    otherwise (~1.5 ms at 1080p). Ortho bins depend on the camera only
-    through its origin offset; pinhole bins depend on the full pose.
+    where the scene is fixed; in-graph rebinning costs ~50-100 us/frame
+    at 1080p (round-5 slope measurement — cheap enough that dynamic
+    scenes/cameras can simply rebin every frame). Ortho bins depend on
+    the camera only through its origin offset; pinhole bins depend on
+    the full pose.
 
     Overflow policy: when called EAGERLY (outside jit), a tile exceeding
     cull_k auto-escalates — binning retries with doubled K until every
