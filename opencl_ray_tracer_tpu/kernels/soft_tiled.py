@@ -100,6 +100,17 @@ if CH not in (8, 16, 32):
     raise ValueError(
         f"OCTRT_SOFT_CH={CH} invalid: the sublane chunk must be 8, 16 or 32"
     )
+# Ragged-loop unroll factor: 2 processes chunk PAIRS per fori iteration
+# (half the dynamic-loop control overhead at CH-row vreg shapes; tables
+# are padded to even chunk counts and trailing null chunks contribute
+# exact zeros, so raggedness stays exact). Experimental knob — measured
+# v5e trade: ~15-25% extra null-slot vector work vs halved per-iteration
+# overhead.
+_UNROLL = int(_os.environ.get("OCTRT_SOFT_UNROLL", "1"))
+if _UNROLL not in (1, 2):
+    raise ValueError(
+        f"OCTRT_SOFT_UNROLL={_UNROLL} invalid: must be 1 or 2"
+    )
 SUB_PIX_FWD = 2048     # lane width per inner iteration (fwd)
 # bwd strip width: the decomposed bwd keeps no cross-chunk residuals so
 # wider strips FIT. Swept on v5e via scripts/sweep_sub_pix_bwd.py (headline
@@ -240,14 +251,15 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
         tri_box = _pad_box(tri_box, pad)
         sph_box = _pad_box(sph_box, pad)
 
-    # k values rounded to the chunk granularity (CH may exceed 8;
-    # _bin_prims pads columns past the padded primitive count)
+    # k values rounded to the loop granularity (CH rows per chunk x the
+    # unroll factor; _bin_prims pads columns past the primitive count)
+    kg = CH * _UNROLL
     k_tri = (
-        _round_up(min(k, _round_up(packed.n_tris, CH)), CH)
+        _round_up(min(k, _round_up(packed.n_tris, CH)), kg)
         if packed.n_tris else 0
     )
     k_sph = (
-        _round_up(min(k, _round_up(packed.n_spheres, CH)), CH)
+        _round_up(min(k, _round_up(packed.n_spheres, CH)), kg)
         if packed.n_spheres else 0
     )
     overflow = jnp.zeros((), bool)
@@ -277,20 +289,20 @@ def _bin_soft(packed, tau_e, camera, *, height, width, k, shadows,
     # set (one shared table, see _gather_soft_tables).
     if projective:
         k_sh_tri = (
-            _round_up(packed.padded_tris, CH)
+            _round_up(packed.padded_tris, kg)
             if (shadows and packed.n_tris) else 0
         )
         k_sh_sph = (
-            _round_up(packed.padded_spheres, CH)
+            _round_up(packed.padded_spheres, kg)
             if (shadows and packed.n_spheres) else 0
         )
     else:
         k_sh_tri = (
-            _round_up(min(shadow_k, _round_up(packed.n_tris, CH)), CH)
+            _round_up(min(shadow_k, _round_up(packed.n_tris, CH)), kg)
             if (shadows and packed.n_tris) else 0
         )
         k_sh_sph = (
-            _round_up(min(shadow_k, _round_up(packed.n_spheres, CH)), CH)
+            _round_up(min(shadow_k, _round_up(packed.n_spheres, CH)), kg)
             if (shadows and packed.n_spheres) else 0
         )
     lpos = packed.lights.position
@@ -758,6 +770,16 @@ def _ragged_fori(n_chunks: int, cnt, body, carry):
     candidate count."""
     if n_chunks == 0:
         return carry
+    if _UNROLL == 2 and n_chunks % 2 == 0:
+        # chunk PAIRS per iteration: indices 2ci, 2ci+1 are always in
+        # range (even static chunk count, n <= n_chunks/2) and a trailing
+        # past-the-count chunk is all-null -> exact zero contribution
+        n = jnp.minimum((cnt + (2 * CH - 1)) // (2 * CH), n_chunks // 2)
+
+        def body2(ci, c):
+            return body(2 * ci + 1, body(2 * ci, c))
+
+        return jax.lax.fori_loop(0, n, body2, carry)
     n = jnp.minimum((cnt + (CH - 1)) // CH, n_chunks)
     return jax.lax.fori_loop(0, n, body, carry)
 
