@@ -536,8 +536,13 @@ def main(argv=None) -> None:
         width=wid, height=hgt, shading="phong", shadows=True,
         framebuffer_dtype="packed",
     )
+    # n_frames=300: at ~150 us/frame the slope differences two ~10-45 ms
+    # scan walls whose residual jitter is a few ms; 88 frames of signal
+    # (n=100) left +-40% sample noise that rounds 1-3 mis-read as a fast
+    # "92 us phase". 263 frames of signal tightens the spread to ~+-6%
+    # (measured round 5, scripts/headline_variance.py).
     us, rays, us_min, us_max = bench_config(
-        scene_hl, cfg_hl, tiled=True, best_of=3, spread=True
+        scene_hl, cfg_hl, tiled=True, best_of=3, spread=True, n_frames=300
     )
     row("headline tiled phong+shadows 1080p 10sph+1cube (packed fb)", us, rays)
     print(f"# headline spread over 3 slope measurements: "
