@@ -607,7 +607,7 @@ def main(argv=None) -> None:
     try:
         us_dyn, rays_dyn = bench_config(
             scene_hl, cfg_hl, cam=cam_ph, tiled=True, dynamic_bins=True,
-            n_frames=50, best_of=3,
+            n_frames=150, best_of=3,
         )
         row("DYNAMIC frame phong+shadows 1080p pinhole (in-graph rebin)",
             us_dyn, rays_dyn)
@@ -644,12 +644,17 @@ def main(argv=None) -> None:
     rays_stress = None
     if not args.skip_context:
         try:
+            # fast rows measure at n_frames=300: sub-300-us frames carry
+            # so little signal per scan that n=100 slopes swing +-40%
+            # (the headline's diagnosed differencing noise, PERF.md #7)
             cfg_legacy = RenderConfig(width=wid, height=hgt, shading="legacy",
                                       framebuffer_dtype="packed")
-            u2, r2 = bench_config(scene_hl, cfg_legacy, tiled=True)
+            u2, r2 = bench_config(scene_hl, cfg_legacy, tiled=True,
+                                  n_frames=300)
             row("tiled legacy 1080p 10sph+1cube (packed fb)", u2, r2)
             # real pinhole camera through the projective tiled path
-            u2p, r2p = bench_config(scene_hl, cfg_legacy, cam=cam_ph, tiled=True)
+            u2p, r2p = bench_config(scene_hl, cfg_legacy, cam=cam_ph,
+                                    tiled=True, n_frames=300)
             row("tiled legacy 1080p pinhole (projective culling)", u2p, r2p)
             # the brute kernel has no packed mode (it is the fallback, not
             # the product path) — bench it on its own int framebuffer
@@ -698,7 +703,8 @@ def main(argv=None) -> None:
             row("tiled legacy 4K 100sph+100cubes (1200 tris, k=96, packed)",
                 u5, r5)
             # pinhole rows through the projective tiled paths (VERDICT r2 #8)
-            u6, r6 = bench_config(scene_hl, cfg_hl, cam=cam_ph, tiled=True)
+            u6, r6 = bench_config(scene_hl, cfg_hl, cam=cam_ph, tiled=True,
+                                  n_frames=300)
             row("tiled phong+shadows 1080p pinhole", u6, r6)
             u7, r7 = bench_fwd_bwd_soft(scene_hl, cfg_soft, cam=cam_ph)
             row("fwd+bwd soft phong+shadows 1080p pinhole", u7, r7)
